@@ -1,0 +1,151 @@
+"""Host-side input pipeline: threaded prefetching loader with bucketed
+static padding.
+
+TPU-native replacement for the reference's torch ``DataLoader`` with 12
+worker processes (/root/reference/runner.py:203-213): decode/mix on host
+threads (audio decode releases the GIL inside numpy), pad every batch to a
+static duration bucket so each bucket hits one cached XLA executable, and
+keep a bounded prefetch queue so device steps overlap host I/O. OOM-retry
+machinery from the reference (runner.py:504-508) is unnecessary here: all
+shapes are static, memory use is decided at compile time (SURVEY.md
+section 2.10).
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+
+def bucket_length(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (falls back to the largest bucket)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def default_buckets(sample_rate: int = 16000, max_time_ms: int = 10000) -> List[int]:
+    """Duration buckets in samples: 1s, 2s, 4s, 6s, 8s, max. Bounded shape
+    count keeps XLA recompiles finite while wasting little padding."""
+    secs = [1, 2, 4, 6, 8]
+    out = [s * sample_rate for s in secs if s * 1000 < max_time_ms]
+    out.append(sample_rate * max_time_ms // 1000)
+    return out
+
+
+class DataLoader:
+    """Iterable over collated batches with optional shuffling, threaded
+    prefetch, and bucket padding.
+
+    Yields whatever ``dataset.collate_fn`` returns: (lengths, wavs) or
+    (lengths, wavs, cases) with wavs (B, C, T_bucket).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 2,
+        drop_last: bool = False,
+        buckets: Optional[Sequence[int]] = None,
+        prefetch: int = 4,
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.buckets = list(buckets) if buckets is not None else None
+        self.prefetch = prefetch
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _batch_indices(self) -> List[List[int]]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = random.Random(None if self.seed is None else self.seed + self._epoch)
+            rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _collate(self, samples):
+        if self.buckets is None:
+            return self.dataset.collate_fn(samples)
+        wavs = [s[0] if isinstance(s, tuple) else s for s in samples]
+        max_len = max(w.shape[0] for w in wavs)
+        pad_to = bucket_length(max_len, self.buckets)
+        return self.dataset.collate_fn(samples, pad_to=pad_to)
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        self._epoch += 1
+        if self.num_workers <= 1 or len(batches) <= 1:
+            for b in batches:
+                yield self._collate([self.dataset[i] for i in b])
+            return
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        results = {}
+        results_lock = threading.Condition()
+        task_q: "queue.Queue" = queue.Queue()
+        for i, b in enumerate(batches):
+            task_q.put((i, b))
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i, b = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self._collate([self.dataset[j] for j in b])
+                    err = None
+                except Exception as e:  # surface in consumer
+                    batch, err = None, e
+                with results_lock:
+                    results[i] = (batch, err)
+                    results_lock.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        try:
+            for i in range(len(batches)):
+                with results_lock:
+                    while i not in results:
+                        results_lock.wait(timeout=60.0)
+                        if i not in results and not any(t.is_alive() for t in threads):
+                            raise RuntimeError("all loader workers died")
+                    batch, err = results.pop(i)
+                if err is not None:
+                    raise err
+                yield batch
+        finally:
+            stop.set()
+
+
+def infinite_iterator(loader: DataLoader):
+    """Restarting iterator (the reference's try/except-StopIteration reload,
+    /root/reference/runner.py:384-388)."""
+    while True:
+        for batch in loader:
+            yield batch

@@ -1,0 +1,224 @@
+"""TPU-native STFT / iSTFT.
+
+Re-implements the spectral front-end contract of the reference's external
+S3PRL ``OnlinePreprocessor`` (see /root/reference/runner.py:433,267 and
+/root/reference/sampler.py:226-229 for the call sites that define it):
+
+- framing convention identical to ``torch.stft(center=True,
+  pad_mode='reflect', onesided=True, normalized=False)`` with a periodic
+  Hann window: ``n_frames = 1 + len // hop`` (/root/reference/runner.py:455).
+- ``magphase`` returns the POWER spectrum plus phase; magnitude is
+  ``sqrt(power)`` (/root/reference/sampler.py:229).
+- ``istft(power, phase)`` reconstructs with ``power ** (1/2)`` as magnitude
+  and trims center padding, output length ``(n_frames - 1) * hop``.
+
+TPU-first design: instead of translating torch's FFT call, the forward
+transform is expressed as a single strided convolution with a
+window-folded real-DFT kernel — framing + windowing + rFFT become one
+fused matmul that XLA tiles onto the MXU. For n_fft = 400 the dense DFT
+costs more FLOPs than an FFT but runs at MXU speed-of-light and fuses
+with the surrounding elementwise work; the FFT path (``method='fft'``) is
+kept for parity testing and very large n_fft.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window — matches ``torch.hann_window(periodic=True)``."""
+    n = np.arange(win_length, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * math.pi * n / win_length)
+    return w.astype(dtype)
+
+
+def _padded_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Hann window zero-padded symmetrically to n_fft (torch.stft behavior)."""
+    w = hann_window(win_length)
+    if win_length == n_fft:
+        return w
+    assert win_length < n_fft
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float32)
+    out[left : left + win_length] = w
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_kernels(n_fft: int, win_length: int):
+    """Window-folded real-DFT analysis kernel and synthesis kernel.
+
+    Returns:
+      fwd: (n_fft, 2 * n_freq) — frames @ fwd = [real | imag] of rFFT(w * x)
+      inv: (2 * n_freq, n_fft) — [real | imag] @ inv = irFFT, *without* window
+      window: (n_fft,)
+    """
+    n_freq = n_fft // 2 + 1
+    window = _padded_window(win_length, n_fft)
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    ang = 2.0 * math.pi * n * k / n_fft
+    cos, sin = np.cos(ang), np.sin(ang)
+    # rFFT with e^{-i theta}: real = sum x cos, imag = -sum x sin
+    fwd = np.concatenate([window[:, None] * cos, window[:, None] * -sin], axis=1)
+
+    # inverse rDFT: x_n = (1/N) * sum_k c_k * (re_k cos - im_k sin),
+    # c_k = 1 for k in {0, N/2}, else 2 (onesided hermitian completion).
+    c = np.full(n_freq, 2.0)
+    c[0] = 1.0
+    if n_fft % 2 == 0:
+        c[-1] = 1.0
+    inv = np.concatenate([(c[:, None] * cos.T), (c[:, None] * -sin.T)], axis=0) / n_fft
+    return (
+        jnp.asarray(fwd, dtype=jnp.float32),
+        jnp.asarray(inv, dtype=jnp.float32),
+        jnp.asarray(window, dtype=jnp.float32),
+    )
+
+
+@dataclass(frozen=True)
+class StftParams:
+    """STFT geometry. Defaults reproduce the reference's pretraining config
+    (/root/reference/config/pretrain_sample.yaml:46-49): 25 ms window,
+    10 ms hop, 201 frequency bins at 16 kHz."""
+
+    sample_rate: int = 16000
+    win_ms: float = 25.0
+    hop_ms: float = 10.0
+    n_freq: int = 201
+
+    @property
+    def win_length(self) -> int:
+        return round(self.win_ms * self.sample_rate / 1000)
+
+    @property
+    def hop_length(self) -> int:
+        return round(self.hop_ms * self.sample_rate / 1000)
+
+    @property
+    def n_fft(self) -> int:
+        return (self.n_freq - 1) * 2
+
+    def n_frames(self, num_samples: int) -> int:
+        return 1 + num_samples // self.hop_length
+
+
+def _reflect_pad(wavs: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(wavs, [(0, 0)] * (wavs.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def stft(wavs: jnp.ndarray, params: StftParams, method: str = "matmul") -> jnp.ndarray:
+    """Short-time Fourier transform.
+
+    Args:
+      wavs: (..., time) float32.
+      method: 'matmul' (fused framing+window+DFT as one strided conv on the
+        MXU) or 'fft' (gather frames then jnp.fft.rfft).
+
+    Returns:
+      (..., n_frames, 2 * n_freq) with real parts in [..., :n_freq] and
+      imaginary parts in [..., n_freq:].
+    """
+    n_fft, hop = params.n_fft, params.hop_length
+    n_freq = params.n_freq
+    lead = wavs.shape[:-1]
+    time = wavs.shape[-1]
+    n_frames = params.n_frames(time)
+
+    x = wavs.reshape((-1, time))
+    x = _reflect_pad(x, n_fft // 2)
+
+    if method == "matmul":
+        fwd, _, _ = _dft_kernels(n_fft, params.win_length)
+        # One conv = framing + window + DFT. (B, 1, T) * (2F, 1, n_fft)
+        out = jax.lax.conv_general_dilated(
+            x[:, None, :],
+            fwd.T[:, None, :],
+            window_strides=(hop,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32,
+        )  # (B, 2F, n_frames)
+        out = jnp.swapaxes(out, 1, 2)
+    elif method == "fft":
+        _, _, window = _dft_kernels(n_fft, params.win_length)
+        idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        frames = x[:, idx] * window  # (B, n_frames, n_fft)
+        spec = jnp.fft.rfft(frames, axis=-1)
+        out = jnp.concatenate([spec.real, spec.imag], axis=-1).astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown stft method: {method}")
+
+    return out.reshape(lead + (n_frames, 2 * n_freq))
+
+
+def magphase(complx: jnp.ndarray, n_freq: int, power: float = 2.0):
+    """Split packed [real | imag] into (power-spectrum, phase).
+
+    ``power=2`` matches the reference preprocessor's magphase: the 'linear'
+    feature is the POWER spectrogram (/root/reference/sampler.py:226-229
+    takes sqrt to recover magnitude)."""
+    re, im = complx[..., :n_freq], complx[..., n_freq:]
+    sq = re * re + im * im
+    if power == 2.0:
+        mag = sq
+    elif power == 1.0:
+        mag = jnp.sqrt(sq)
+    else:
+        mag = sq ** (power / 2.0)
+    phase = jnp.arctan2(im, re)
+    return mag, phase
+
+
+def istft(
+    linear: jnp.ndarray,
+    phase: jnp.ndarray,
+    params: StftParams,
+    linear_power: float = 2.0,
+) -> jnp.ndarray:
+    """Inverse STFT from (power-)magnitude + phase, torch.istft semantics.
+
+    Mirrors the reference's ``preprocessor.istft(linear_tar, phase_inp)``
+    (/root/reference/runner.py:267): magnitude = linear ** (1/linear_power),
+    synthesis window = analysis Hann, center padding trimmed, output length
+    ``(n_frames - 1) * hop``, normalized by the window-square overlap-add
+    envelope.
+
+    Args:
+      linear: (..., n_frames, n_freq) non-negative spectrum.
+      phase: (..., n_frames, n_freq).
+    """
+    n_fft, hop, n_freq = params.n_fft, params.hop_length, params.n_freq
+    lead = linear.shape[:-2]
+    n_frames = linear.shape[-2]
+    mag = linear ** (1.0 / linear_power) if linear_power != 1.0 else linear
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    packed = jnp.concatenate([re, im], axis=-1).reshape((-1, n_frames, 2 * n_freq))
+
+    _, inv, window = _dft_kernels(n_fft, params.win_length)
+    frames = (
+        jnp.einsum("btf,fn->btn", packed, inv, preferred_element_type=jnp.float32)
+        * window
+    )  # (B, n_frames, n_fft)
+
+    out_padded = n_fft + (n_frames - 1) * hop
+    pos = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
+    wav = jnp.zeros((frames.shape[0], out_padded), dtype=frames.dtype)
+    wav = wav.at[:, pos].add(frames.reshape(frames.shape[0], -1))
+
+    env = jnp.zeros((out_padded,), dtype=frames.dtype)
+    env = env.at[pos].add(jnp.tile(window * window, (n_frames,)))
+
+    start = n_fft // 2
+    length = (n_frames - 1) * hop
+    wav = wav[:, start : start + length]
+    env = env[start : start + length]
+    wav = wav / jnp.where(env > 1e-11, env, 1.0)
+    return wav.reshape(lead + (length,))
