@@ -1,0 +1,197 @@
+"""Downstream enhancement heads.
+
+The reference's five heads (/root/reference/model.py) share one contract:
+``model(features, linears) -> (predicted_linear, aux_dict)`` where
+``features`` is the downstream input ((B, T, D) upstream hiddens or raw
+features) and ``linears`` is the noisy POWER spectrogram (B, T, 201).
+Rebuilt here as flax modules with the same hyperparameter vocabulary
+(config/vcb.yaml:42-58 'model' section) and torch-default initializers so
+training dynamics match.
+
+Registry replaces the reference's ``eval(args.downstream)`` factory
+(/root/reference/run_downstream.py:210; SURVEY.md section 2.10).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .lstm import LSTMStack
+
+Aux = Dict[str, jnp.ndarray]
+
+ACTIVATIONS: Dict[str, Callable] = {
+    "Identity": lambda x: x,
+    "ReLU": jax.nn.relu,
+    "Sigmoid": jax.nn.sigmoid,
+    "Tanh": jnp.tanh,
+    "GELU": jax.nn.gelu,
+    "LeakyReLU": lambda x: jax.nn.leaky_relu(x, 0.01),
+    "ELU": jax.nn.elu,
+    "Softplus": jax.nn.softplus,
+}
+
+
+def activation(name: str) -> Callable:
+    assert name in ACTIVATIONS, f"unknown activation {name}"
+    return ACTIVATIONS[name]
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default: kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
+    flax kernels are (in, out); fan_in = shape[0]."""
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_dense(features: int, fan_in: int, name: Optional[str] = None) -> nn.Dense:
+    return nn.Dense(
+        features,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=torch_linear_bias_init(fan_in),
+        name=name,
+    )
+
+
+def cmvn_t(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Per-utterance time normalization with unbiased std
+    (/root/reference/model.py:30,88)."""
+    mean = x.mean(axis=1, keepdims=True)
+    var = ((x - mean) ** 2).sum(axis=1, keepdims=True) / jnp.maximum(x.shape[1] - 1, 1)
+    return (x - mean) / (jnp.sqrt(var) + eps)
+
+
+class Linear(nn.Module):
+    """Direct spectrum regression (/root/reference/model.py:8-17)."""
+
+    input_size: int
+    output_size: int
+    activation: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        predicted = torch_dense(self.output_size, self.input_size, name="linear")(
+            features
+        )
+        return activation(self.activation)(predicted), {}
+
+
+class LinearResidual(nn.Module):
+    """Sigmoid mask times noisy linear, optional input CMVN
+    (/root/reference/model.py:20-34)."""
+
+    input_size: int = 201
+    output_size: int = 201
+    activation: str = "Sigmoid"
+    cmvn: bool = True
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        if self.cmvn:
+            features = cmvn_t(features, self.eps)
+        offset = torch_dense(self.output_size, self.input_size, name="linear")(features)
+        offset = activation(self.activation)(offset)
+        return linears * offset, {"offset": offset}
+
+
+class LSTM(nn.Module):
+    """LSTM -> scaling layer -> exp: predicts log-magnitude spectrum
+    (/root/reference/model.py:37-60). aux carries ``log_predicted``."""
+
+    input_size: int = 201
+    output_size: int = 201
+    hidden_size: int = 201
+    num_layers: int = 3
+    bidirectional: bool = False
+    activation: str = "Identity"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        hs = LSTMStack(
+            self.hidden_size, self.num_layers, self.bidirectional,
+            compute_dtype=self.compute_dtype, name="lstm",
+        )(features)
+        out_in = max(1, 2 * int(self.bidirectional)) * self.hidden_size
+        log_predicted = nn.Dense(
+            self.output_size,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            name="scaling_layer",
+        )(hs)
+        del out_in
+        log_predicted = activation(self.activation)(log_predicted)
+        return jnp.exp(log_predicted), {"log_predicted": log_predicted}
+
+
+class Residual(nn.Module):
+    """LSTM mask times noisy linear (/root/reference/model.py:63-91).
+    aux carries ``offset`` (consumed by the WSD objective)."""
+
+    input_size: int = 201
+    output_size: int = 201
+    hidden_size: int = 201
+    num_layers: int = 3
+    bidirectional: bool = False
+    activation: str = "Sigmoid"
+    cmvn: bool = False
+    eps: float = 1e-6
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        offset = LSTMStack(
+            self.hidden_size, self.num_layers, self.bidirectional,
+            compute_dtype=self.compute_dtype, name="lstm",
+        )(features)
+        if self.cmvn:
+            offset = cmvn_t(offset, self.eps)
+        offset = nn.Dense(
+            self.output_size,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            name="scaling_layer",
+        )(offset)
+        offset = activation(self.activation)(offset)
+        return linears * offset, {"offset": offset}
+
+
+def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.Module:
+    """Explicit registry replacing ``eval(args.downstream)``. Extra kwargs
+    (the args-namespace soup the reference passes through,
+    run_downstream.py:208-210) are filtered to each model's fields; flax's
+    reserved `name`/`parent` fields are never taken from config."""
+    from .spec_head import Mockingjay, SpecHead  # cycle-free late import
+
+    registry = {
+        "Linear": Linear,
+        "LinearResidual": LinearResidual,
+        "LSTM": LSTM,
+        "Residual": Residual,
+        "SpecHead": SpecHead,
+        "Mockingjay": Mockingjay,
+    }
+    assert model_name in registry, f"unknown downstream model {model_name}"
+    cls = registry[model_name]
+    fields = {f.name for f in cls.__dataclass_fields__.values()}
+    fields -= {"name", "parent"}
+    kwargs = {k: v for k, v in cfg.items() if k in fields}
+    if "input_size" in fields:
+        kwargs["input_size"] = input_size
+    if "output_size" in fields:
+        kwargs["output_size"] = output_size
+    return cls(**kwargs)

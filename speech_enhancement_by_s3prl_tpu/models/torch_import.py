@@ -1,0 +1,195 @@
+"""PyTorch checkpoint importers.
+
+S3PRL pretrained upstreams ship as torch ``states-*.ckpt`` dicts holding
+``Transformer`` / ``SpecHead`` weight blobs plus ``Settings.Config``
+(/root/reference/run_downstream.py:181, /root/reference/model.py:97-101,
+143-153). Downstream warm-starts (--dckpt) hold ``Downstream`` or
+``SmallModel`` blobs (/root/reference/run_downstream.py:212-217). These
+functions convert those layouts into this framework's flax parameter trees
+(numpy; no torch tensors escape). torch is imported lazily — it is only
+needed when actually loading a torch checkpoint.
+
+Layout notes (SURVEY.md section 7, hard part (b)):
+- torch ``nn.Linear`` stores (out, in); flax Dense kernels are (in, out).
+- torch LSTM gate order (i, f, g, o) matches models/lstm.py by design.
+- q/k/v projections are fused into one qkv kernel here (concat on the
+  output dim) because the encoder uses a single fused matmul.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from .transformer import TransformerConfig
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def _dense(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).T,
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _layernorm(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def convert_transformer_state(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """S3PRL ``Transformer`` state dict -> TransformerEncoder params."""
+    params: Dict[str, Any] = {
+        "spec_transform": _dense(sd, "input_representations.spec_transform"),
+        "input_ln": _layernorm(sd, "input_representations.LayerNorm"),
+    }
+    layer_ids = sorted(
+        {
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(r"encoder\.layer\.(\d+)\.", k)) is not None
+        }
+    )
+    for i in layer_ids:
+        pre = f"encoder.layer.{i}"
+        q = _dense(sd, f"{pre}.attention.self.query")
+        k = _dense(sd, f"{pre}.attention.self.key")
+        v = _dense(sd, f"{pre}.attention.self.value")
+        params[f"layer_{i}"] = {
+            "attention": {
+                "qkv": {
+                    "kernel": np.concatenate(
+                        [q["kernel"], k["kernel"], v["kernel"]], axis=1
+                    ),
+                    "bias": np.concatenate([q["bias"], k["bias"], v["bias"]]),
+                },
+                "output": _dense(sd, f"{pre}.attention.output.dense"),
+            },
+            "attention_ln": _layernorm(sd, f"{pre}.attention.output.LayerNorm"),
+            "intermediate": _dense(sd, f"{pre}.intermediate.dense"),
+            "output": _dense(sd, f"{pre}.output.dense"),
+            "output_ln": _layernorm(sd, f"{pre}.output.LayerNorm"),
+        }
+    return params
+
+
+def convert_spechead_state(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """S3PRL ``SpecHead`` state dict -> TransformerSpecPredictionHead params."""
+    return {
+        "dense": _dense(sd, "dense"),
+        "ln": _layernorm(sd, "LayerNorm"),
+        "output": _dense(sd, "output"),
+    }
+
+
+def convert_lstm_state(
+    sd: Dict[str, Any], prefix: str = "lstm"
+) -> Dict[str, Any]:
+    """torch nn.LSTM state dict -> LSTMStack params."""
+    out: Dict[str, Any] = {}
+    pat = re.compile(rf"{re.escape(prefix)}\.(weight|bias)_(ih|hh)_l(\d+)(_reverse)?$")
+    for key, val in sd.items():
+        m = pat.match(key)
+        if m is None:
+            continue
+        kind, gate, layer, rev = m.groups()
+        node = f"l{layer}_{'bwd' if rev else 'fwd'}"
+        out.setdefault(node, {})[f"{'w' if kind == 'weight' else 'b'}_{gate}"] = _np(val)
+    return out
+
+
+def convert_downstream_state(sd: Dict[str, Any], model_name: str) -> Dict[str, Any]:
+    """Downstream head state dict -> flax params for models/heads.py."""
+    if model_name in ("LSTM", "Residual"):
+        return {
+            "lstm": convert_lstm_state(sd, "lstm"),
+            "scaling_layer": _dense(sd, "scaling_layer.0"),
+        }
+    if model_name in ("Linear", "LinearResidual"):
+        return {"linear": _dense(sd, "linear")}
+    if model_name == "SpecHead":
+        inner = {
+            k.split(".", 1)[1]: v for k, v in sd.items() if k.startswith("spechead.")
+        }
+        return {"spechead": convert_spechead_state(inner)}
+    if model_name == "Mockingjay":
+        enc = {
+            k.split(".", 1)[1]: v for k, v in sd.items() if k.startswith("mockingjay.")
+        }
+        head = {
+            k.split(".", 1)[1]: v for k, v in sd.items() if k.startswith("spechead.")
+        }
+        return {
+            "mockingjay": convert_transformer_state(enc),
+            "spechead": convert_spechead_state(head),
+        }
+    raise ValueError(f"no converter for downstream model {model_name}")
+
+
+@dataclasses.dataclass
+class LoadedCheckpoint:
+    config: TransformerConfig
+    params: Dict[str, Any]
+    input_dim: int
+    output_size: int
+    log_domain: bool
+    pretrain_config: Dict[str, Any]
+
+
+def _feat_dim_from_online(online: Dict[str, Any], which: str) -> int:
+    """Feature dim implied by an online input/target config
+    (mirrors the shape-inference preprocessor call at
+    /root/reference/run_downstream.py:181-184)."""
+    from ..ops.features import PreprocessorConfig, feat_dim
+
+    pcfg = PreprocessorConfig(
+        sample_rate=online.get("sample_rate", 16000),
+        win_ms=online.get("win_ms", 25),
+        hop_ms=online.get("hop_ms", 10),
+        n_freq=online.get("n_freq", 201),
+        n_mels=online.get("n_mels", 40),
+        n_mfcc=online.get("n_mfcc", 13),
+    )
+    return feat_dim(online[which], pcfg)
+
+
+def load_s3prl_checkpoint(path: str) -> LoadedCheckpoint:
+    """Load + convert a torch S3PRL pretraining checkpoint."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    pretrain_config = ckpt["Settings"]["Config"]
+    config = TransformerConfig.from_dict(pretrain_config)
+
+    online = pretrain_config.get("online", {})
+    input_dim = (
+        _feat_dim_from_online(online, "input") if "input" in online else config.input_dim
+    )
+    output_size = (
+        _feat_dim_from_online(online, "target") if "target" in online else 201
+    )
+    target_cfg = online.get("target", {})
+    log_domain = bool(target_cfg.get("log", False))
+
+    config = dataclasses.replace(config, input_dim=input_dim)
+    params: Dict[str, Any] = {}
+    if "Transformer" in ckpt:
+        params["encoder"] = convert_transformer_state(ckpt["Transformer"])
+    if "SpecHead" in ckpt:
+        params["spechead"] = convert_spechead_state(ckpt["SpecHead"])
+    return LoadedCheckpoint(
+        config=config,
+        params=params,
+        input_dim=input_dim,
+        output_size=output_size,
+        log_domain=log_domain,
+        pretrain_config=pretrain_config,
+    )

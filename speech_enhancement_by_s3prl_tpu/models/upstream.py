@@ -1,0 +1,168 @@
+"""Upstream model wrappers.
+
+The reference builds its upstream through S3PRL's ``TRANSFORMER(options,
+inp_dim)`` with an attached ``SpecHead`` (/root/reference/run_downstream.py:
+167-192), or an identity ``dummy_upstream`` for the no-SSL baseline. The
+rebuild provides the same surface as a bound (module, params) pair:
+
+- ``UpstreamTransformer``: flax encoder (+ spec head) with the reference's
+  options vocabulary — no_grad (stop_gradient), dropout override,
+  select_layer, weighted_sum, spec_aug;
+- ``DummyUpstream``: identity with ``out_dim``;
+- both expose ``.out_dim``, are callable on (B, T, feat) and return
+  (B, T', hidden) — the contract asserted at run_downstream.py:190-191.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .transformer import (
+    TransformerConfig,
+    TransformerEncoder,
+    TransformerSpecPredictionHead,
+)
+
+
+class DummyUpstream:
+    """Identity upstream (/root/reference/run_downstream.py:187-188)."""
+
+    def __init__(self, input_dim: int):
+        self.out_dim = input_dim
+        self.params = {}
+        self.trainable = False
+
+    def __call__(self, features, params=None, train=False, rngs=None):
+        return features
+
+    def spec_head(self, hidden, params=None):
+        raise NotImplementedError("dummy upstream has no SpecHead")
+
+
+@dataclasses.dataclass
+class UpstreamOptions:
+    """The options dict of /root/reference/run_downstream.py:170-179."""
+
+    load_pretrain: bool = True
+    no_grad: bool = False
+    dropout: Optional[float] = None  # None = keep checkpoint dropout
+    spec_aug: bool = False
+    spec_aug_prev: bool = True
+    weighted_sum: bool = False
+    select_layer: int = -1
+
+
+class UpstreamTransformer:
+    """Bound transformer upstream with optional spec head.
+
+    ``params`` is a dict with keys 'encoder', optionally 'spechead' and
+    (when weighted_sum) 'layer_weights'. ``__call__`` maps input features to
+    hidden states; ``spec_head`` maps hidden states to linear spectra —
+    together they implement the pseudo-wav path
+    (/root/reference/runner.py:273-284).
+    """
+
+    def __init__(
+        self,
+        config: TransformerConfig,
+        input_dim: int,
+        options: Optional[UpstreamOptions] = None,
+        output_size: int = 201,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        compute_dtype=jnp.float32,
+    ):
+        self.config = config
+        self.options = options or UpstreamOptions()
+        if self.options.dropout is not None:
+            config = dataclasses.replace(
+                config,
+                hidden_dropout_prob=float(self.options.dropout),
+                attention_probs_dropout_prob=float(self.options.dropout),
+            )
+            self.config = config
+        self.encoder = TransformerEncoder(config, compute_dtype=compute_dtype)
+        self.head = TransformerSpecPredictionHead(config, output_size)
+        self.out_dim = config.hidden_size
+        self.output_size = output_size
+        self.input_dim = input_dim
+
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1, 8, input_dim), jnp.float32)
+            enc = self.encoder.init({"params": key, "dropout": key}, dummy)["params"]
+            hid = jnp.zeros((1, 8, config.hidden_size), jnp.float32)
+            head = self.head.init(key, hid)["params"]
+            params = {"encoder": enc, "spechead": head}
+            if self.options.weighted_sum:
+                params["layer_weights"] = jnp.zeros(
+                    (config.num_hidden_layers,), jnp.float32
+                )
+        self.params = params
+        # trainable when a dropout override asks for train-mode finetuning
+        # (/root/reference/runner.py:100-107)
+        self.trainable = self.options.dropout is not None
+
+    def __call__(self, features, params=None, train=False, rngs=None):
+        p = self.params if params is None else params
+        opts = self.options
+        use_all = opts.weighted_sum or opts.select_layer != -1
+        out = self.encoder.apply(
+            {"params": p["encoder"]},
+            features,
+            deterministic=not train,
+            output_all_layers=use_all,
+            rngs=rngs if train else None,
+        )
+        if use_all:
+            if opts.weighted_sum:
+                w = jax.nn.softmax(p["layer_weights"])
+                out = jnp.einsum("l...,l->...", out, w)
+            else:
+                out = out[opts.select_layer]
+        if opts.no_grad and not self.trainable:
+            out = jax.lax.stop_gradient(out)
+        return out
+
+    def spec_head(self, hidden, params=None):
+        p = self.params if params is None else params
+        predicted, _ = self.head.apply({"params": p["spechead"]}, hidden)
+        return predicted
+
+
+def build_upstream(
+    upstream: str,
+    input_dim: int,
+    ckpt: str = "",
+    dropout: Optional[float] = None,
+    output_size: int = 201,
+    seed: int = 0,
+):
+    """Factory mirroring ``get_upstream_model``
+    (/root/reference/run_downstream.py:167-192): 'transformer' loads/creates
+    the encoder (+SpecHead), 'baseline' is the identity."""
+    if upstream == "baseline":
+        return DummyUpstream(input_dim)
+    assert upstream == "transformer", f"unknown upstream {upstream}"
+
+    if ckpt:
+        from .torch_import import load_s3prl_checkpoint
+
+        loaded = load_s3prl_checkpoint(ckpt)
+        opts = UpstreamOptions(dropout=dropout)
+        return UpstreamTransformer(
+            loaded.config,
+            input_dim=loaded.input_dim,
+            options=opts,
+            output_size=loaded.output_size,
+            params=loaded.params,
+        )
+    config = TransformerConfig(input_dim=input_dim)
+    return UpstreamTransformer(
+        config, input_dim=input_dim, options=UpstreamOptions(dropout=dropout),
+        output_size=output_size, seed=seed,
+    )
