@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: enhancement real-time factor per chip.
+
+Measures the full enhance pipeline on the flagship model (BLSTM mask head,
+active.yaml geometry: 3x256 BLSTM over 120-dim log-mel+delta features) —
+fused STFT feature extraction, model forward, iSTFT decode with noisy
+phase, level renorm — on 10 s utterances, and reports audio-seconds
+processed per wall-clock second per chip (real-time factor).
+
+Baseline context (BASELINE.md): the reference publishes no numbers; the
+north-star target is >=10x real-time per chip. ``vs_baseline`` is the
+ratio of the measured RTF to that 10x target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+
+    enhance, (params, _, _) = graft.entry()
+
+    sr = 16000
+    utt_sec = 10
+    T = sr * utt_sec
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(
+        rng.standard_normal((batch, 3, T)).astype(np.float32) * 0.05
+    )
+    lengths = jnp.full((batch,), T, jnp.int32)
+
+    # scalar-reduced output: the sum depends on every enhanced sample, so
+    # the whole pipeline executes, while the per-iteration device->host
+    # fetch (which is the only reliable sync point through the axon tunnel
+    # — block_until_ready returns early there) moves 4 bytes, not 20 MB.
+    def enhance_sum(params, wavs, lengths):
+        return enhance(params, wavs, lengths).sum()
+
+    fn = jax.jit(enhance_sum)
+    float(fn(params, wavs, lengths))  # compile + warmup
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(params, wavs, lengths))
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) * iters
+
+    audio_seconds = batch * utt_sec * iters
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "enhance_rtf_per_chip",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

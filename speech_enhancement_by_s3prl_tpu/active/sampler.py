@@ -1,0 +1,233 @@
+"""Active-learning sampler.
+
+The reference runs a child *process* that scores utterances by per-sample
+gradient embeddings — one backward pass per utterance in a Python loop
+(/root/reference/sampler.py:59-110) — cosine-matches them against the mean
+gradient of a pseudo-target "query" batch, thresholds at 0, and fills four
+per-case buffers consumed by the trainer (sampler.py:123-217).
+
+TPU-native redesign:
+
+- per-sample gradients come from ONE ``jax.vmap(jax.grad(...))`` call — the
+  whole batch of gradient embeddings in a single compiled program (SURVEY.md
+  section 7 item 8);
+- layer filtering (``--active_layerid``, sampler.py:97-103) selects the
+  ``lstm/l{id}_*`` parameter subtree before flattening;
+- the asynchronous sampler is a host THREAD driving its own jitted scoring
+  program (optionally on a second device via ``jax.device_put``) instead of
+  a spawned process — no tensor pickling across process boundaries, buffers
+  are plain host arrays;
+- the SIGTERM-flush contract (sampler.py:132-143) becomes a ``stop()`` that
+  drains buffers synchronously; the trainer-side 'collect' message protocol
+  (runner.py:251-263) is a method call with a lock.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ACTIVE_BUFFER_NUM = 4
+
+
+def _select_layer(params, layerid: Optional[int]):
+    """Keep only lstm layer `layerid` params (both directions) when set."""
+    if layerid is None:
+        return params
+
+    def walk(tree, path=()):
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                sub = walk(v, p)
+                if sub:
+                    out[k] = sub
+            else:
+                joined = "/".join(p)
+                if f"l{layerid}_" in joined:
+                    out[k] = v
+        return out
+
+    selected = walk(params["params"] if "params" in params else params)
+    return {"params": selected} if "params" in params else selected
+
+
+def _flatten(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.concatenate([l.reshape(l.shape[0], -1) for l in leaves], axis=-1)
+
+
+def make_scoring_fn(
+    step_builder,
+    active_layerid: Optional[int] = None,
+) -> Callable:
+    """Build ``scoring(params, wavs, lengths, mean=False) -> (B|1, P)``.
+
+    ``mean=False``: per-utterance gradient embeddings via vmap(grad).
+    ``mean=True``: single gradient of the batch loss (the query-side path,
+    /root/reference/runner.py:390, sampler.py:83-87).
+    """
+    sb = step_builder
+
+    def batch_loss(params, wavs, lengths):
+        from ..runner.trainer import make_context
+
+        ctx = make_context(sb.preprocessor, wavs, lengths, sb.channel_inp,
+                           sb.channel_tar)
+        loss, _ = sb.loss_fn(params, ctx)
+        return loss
+
+    def single_grad(params, wavs, lengths):
+        g = jax.grad(batch_loss)(params, wavs, lengths)
+        return g
+
+    def per_sample_grads(params, wavs, lengths):
+        def one(w, l):
+            return batch_loss(params, w[None], l[None])
+
+        return jax.vmap(jax.grad(one), in_axes=(None, 0, 0))(params, wavs, lengths)
+
+    @jax.jit
+    def scoring_mean(params, wavs, lengths):
+        g = single_grad(params, wavs, lengths)
+        g = _select_layer(g, active_layerid)
+        flat = jnp.concatenate([l.reshape(-1) for l in jax.tree.leaves(g)])
+        return flat[None, :]
+
+    @jax.jit
+    def scoring_per_sample(params, wavs, lengths):
+        g = per_sample_grads(params, wavs, lengths)
+        g = _select_layer(g, active_layerid)
+        return _flatten(g)
+
+    def scoring(params, wavs, lengths, mean: bool = False):
+        fn = scoring_mean if mean else scoring_per_sample
+        return fn(params, jnp.asarray(wavs), jnp.asarray(lengths))
+
+    return scoring
+
+
+def matching(query_scores: jnp.ndarray, key_scores: jnp.ndarray, eps: float = 1e-12):
+    """Cosine similarity of each key embedding against the mean query
+    embedding (/root/reference/sampler.py:113-116)."""
+    q = query_scores / (
+        jnp.sqrt((query_scores**2).sum(-1, keepdims=True)) + eps
+    )
+    k = key_scores / (jnp.sqrt((key_scores**2).sum(-1, keepdims=True)) + eps)
+    return k @ q.mean(axis=0)
+
+
+def thresholding(match_scores) -> jnp.ndarray:
+    return match_scores > 0
+
+
+def hist_scoring(preprocessor, wavs: jnp.ndarray, mean: bool = False) -> jnp.ndarray:
+    """Noise-spectrum histogram signature, the alternative scorer
+    (/root/reference/sampler.py:219-235): binary above-mean occupancy of the
+    scaled-noise magnitude spectrum, L2-normalized."""
+    scaled_noise = wavs[:, -1]
+    scale = jnp.abs(scaled_noise).max(axis=-1, keepdims=True)
+    scaled_noise = scaled_noise / jnp.maximum(scale, 1e-12)
+    complx = preprocessor.stft_complex(scaled_noise)
+    power, _ = preprocessor.magphase(complx)
+    linear = jnp.sqrt(power)  # magnitude (B, T', F)
+    hist = (linear > linear.mean(axis=1, keepdims=True)).astype(jnp.float32)
+    hist = hist.mean(axis=1)
+    hist = hist / jnp.maximum(jnp.linalg.norm(hist, axis=-1, keepdims=True), 1e-12)
+    return hist.mean(axis=0, keepdims=True) if mean else hist
+
+
+def hist_thresholding(match_scores) -> jnp.ndarray:
+    return match_scores > 0.8
+
+
+class AsyncSampler:
+    """Background scoring thread filling per-case sample buffers.
+
+    Mirrors the child-process lifecycle of /root/reference/runner.py:223-263:
+    ``start()`` begins the candidate scan, ``collect(n)`` atomically drains
+    up to n samples per case, ``stop()`` terminates (flushing like the
+    SIGTERM handler). The trainer periodically stops and restarts the
+    sampler with fresh params (``sampler_refresh_step``).
+    """
+
+    def __init__(
+        self,
+        scoring_fn: Callable,
+        params,
+        dataset,
+        loader_factory: Callable[[], Any],
+        query_batch,
+        sample_num: int,
+        device=None,
+    ):
+        self.scoring = scoring_fn
+        self.params = params
+        self.loader_factory = loader_factory
+        self.sample_num = sample_num
+        self.device = device
+        self._buffers: Dict[int, List[dict]] = {i: [] for i in range(ACTIVE_BUFFER_NUM)}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._query_batch = query_batch
+        self.query_scores = None
+
+    def _put(self, x):
+        return jax.device_put(x, self.device) if self.device is not None else x
+
+    def start(self):
+        q_lengths, q_wavs, *_ = self._query_batch
+        self.query_scores = self.scoring(
+            self._put(self.params), self._put(q_wavs), self._put(q_lengths)
+        )
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            loader = self.loader_factory()
+            for batch in loader:
+                if self._stop.is_set():
+                    return
+                lengths, wavs, cases = batch
+                scores = self.scoring(
+                    self._put(self.params), self._put(wavs), self._put(lengths)
+                )
+                match = np.asarray(matching(self.query_scores, scores))
+                keep = np.nonzero(match > 0)[0]
+                if len(keep) == 0:
+                    continue
+                with self._lock:
+                    for idx in keep:
+                        self._buffers[int(cases[idx])].append(
+                            {
+                                "wavs": wavs[idx, :, : int(lengths[idx])].T.copy(),
+                                "match_score": float(match[idx]),
+                            }
+                        )
+
+    def collect(self) -> Dict[int, List[dict]]:
+        """Atomically drain up to sample_num entries per case
+        (the 'collect' message protocol, /root/reference/sampler.py:203-215)."""
+        out: Dict[int, List[dict]] = {}
+        with self._lock:
+            for k in list(self._buffers.keys()):
+                out[k] = self._buffers[k][: self.sample_num]
+                self._buffers[k] = []
+        return out
+
+    @property
+    def alive(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None

@@ -50,7 +50,7 @@ def _resample_kernel(up: int, down: int, window_beta: float = 5.0):
     n = np.arange(-half_len, half_len + 1)
     h = up * f_c * np.sinc(f_c * n)
     h *= np.kaiser(2 * half_len + 1, window_beta)
-    return jnp.asarray(h, dtype=jnp.float32)
+    return np.asarray(h, dtype=np.float32)
 
 
 def resample(x: jnp.ndarray, orig_sr: int, new_sr: int) -> jnp.ndarray:
@@ -59,7 +59,7 @@ def resample(x: jnp.ndarray, orig_sr: int, new_sr: int) -> jnp.ndarray:
         return x
     g = math.gcd(orig_sr, new_sr)
     up, down = new_sr // g, orig_sr // g
-    h = _resample_kernel(up, down)
+    h = jnp.asarray(_resample_kernel(up, down))
     lead = x.shape[:-1]
     t = x.shape[-1]
     xb = x.reshape((-1, 1, t))
@@ -80,7 +80,7 @@ def resample(x: jnp.ndarray, orig_sr: int, new_sr: int) -> jnp.ndarray:
 def _stoi_window():
     # hann without endpoint zeros, as used by the STOI reference
     w = np.hanning(N_FRAME + 2)[1:-1]
-    return jnp.asarray(w, dtype=jnp.float32)
+    return np.asarray(w, dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=1)
@@ -96,19 +96,19 @@ def _third_octave_matrix():
         lo_idx = int(np.argmin((f - lo[j]) ** 2))
         hi_idx = int(np.argmin((f - hi[j]) ** 2))
         obm[lo_idx:hi_idx, j] = 1.0
-    return jnp.asarray(obm)
+    return obm
 
 
 @functools.lru_cache(maxsize=1)
 def _dft_mats():
     """512-pt real DFT of 256-sample windowed frames as matmul kernels."""
-    w = np.asarray(_stoi_window(), dtype=np.float64)
+    w = _stoi_window().astype(np.float64)
     n = np.arange(N_FRAME)[:, None]
     k = np.arange(NFFT // 2 + 1)[None, :]
     ang = 2.0 * math.pi * n * k / NFFT
     re = (w[:, None] * np.cos(ang)).astype(np.float32)
     im = (w[:, None] * -np.sin(ang)).astype(np.float32)
-    return jnp.asarray(re), jnp.asarray(im)
+    return re, im
 
 
 def _frame(x: jnp.ndarray, n_frames: int) -> jnp.ndarray:

@@ -38,7 +38,7 @@ def mel_filterbank(
     down = -slopes[:, :-2] / f_diff[:-1]
     up = slopes[:, 2:] / f_diff[1:]
     fb = np.maximum(0.0, np.minimum(down, up))
-    return jnp.asarray(fb, dtype=jnp.float32)
+    return np.asarray(fb, dtype=np.float32)
 
 
 @functools.lru_cache(maxsize=8)
@@ -49,17 +49,17 @@ def dct_matrix(n_input: int, n_coeffs: int) -> jnp.ndarray:
     basis = np.cos(math.pi / n_input * (n[:, None] + 0.5) * k[None, :])
     basis *= math.sqrt(2.0 / n_input)
     basis[:, 0] = 1.0 / math.sqrt(n_input)
-    return jnp.asarray(basis, dtype=jnp.float32)
+    return np.asarray(basis, dtype=np.float32)
 
 
 def power_to_mel(power: jnp.ndarray, n_mels: int, sample_rate: int) -> jnp.ndarray:
     """(..., n_freq) power spectrum -> (..., n_mels) mel power spectrum."""
-    fb = mel_filterbank(power.shape[-1], n_mels, sample_rate)
+    fb = jnp.asarray(mel_filterbank(power.shape[-1], n_mels, sample_rate))
     return jnp.einsum("...f,fm->...m", power, fb, preferred_element_type=jnp.float32)
 
 
 def mel_to_mfcc(mel: jnp.ndarray, n_mfcc: int, log_offset: float = 1e-6) -> jnp.ndarray:
     """(..., n_mels) mel power -> (..., n_mfcc) MFCC (log-mel + ortho DCT-II)."""
     log_mel = jnp.log(mel + log_offset)
-    dct = dct_matrix(mel.shape[-1], n_mfcc)
+    dct = jnp.asarray(dct_matrix(mel.shape[-1], n_mfcc))
     return jnp.einsum("...m,mk->...k", log_mel, dct, preferred_element_type=jnp.float32)

@@ -75,10 +75,11 @@ def _dft_kernels(n_fft: int, win_length: int):
     if n_fft % 2 == 0:
         c[-1] = 1.0
     inv = np.concatenate([(c[:, None] * cos.T), (c[:, None] * -sin.T)], axis=0) / n_fft
+    # host numpy constants: safe to build/cache inside any jit trace
     return (
-        jnp.asarray(fwd, dtype=jnp.float32),
-        jnp.asarray(inv, dtype=jnp.float32),
-        jnp.asarray(window, dtype=jnp.float32),
+        np.asarray(fwd, dtype=np.float32),
+        np.asarray(inv, dtype=np.float32),
+        np.asarray(window, dtype=np.float32),
     )
 
 
@@ -139,7 +140,7 @@ def stft(wavs: jnp.ndarray, params: StftParams, method: str = "matmul") -> jnp.n
         # One conv = framing + window + DFT. (B, 1, T) * (2F, 1, n_fft)
         out = jax.lax.conv_general_dilated(
             x[:, None, :],
-            fwd.T[:, None, :],
+            jnp.asarray(fwd.T[:, None, :]),
             window_strides=(hop,),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
@@ -149,7 +150,7 @@ def stft(wavs: jnp.ndarray, params: StftParams, method: str = "matmul") -> jnp.n
     elif method == "fft":
         _, _, window = _dft_kernels(n_fft, params.win_length)
         idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        frames = x[:, idx] * window  # (B, n_frames, n_fft)
+        frames = x[:, idx] * jnp.asarray(window)  # (B, n_frames, n_fft)
         spec = jnp.fft.rfft(frames, axis=-1)
         out = jnp.concatenate([spec.real, spec.imag], axis=-1).astype(jnp.float32)
     else:
@@ -203,6 +204,7 @@ def istft(
     packed = jnp.concatenate([re, im], axis=-1).reshape((-1, n_frames, 2 * n_freq))
 
     _, inv, window = _dft_kernels(n_fft, params.win_length)
+    inv, window = jnp.asarray(inv), jnp.asarray(window)
     frames = (
         jnp.einsum("btf,fn->btn", packed, inv, preferred_element_type=jnp.float32)
         * window

@@ -1,0 +1,609 @@
+"""Training/evaluation orchestrator.
+
+Rebuild of the reference ``Runner`` (/root/reference/runner.py:58-674) with
+the same observable lifecycle — dataset modes, eval cadence and reductions,
+checkpoint payload/rotation/best-split saves, pseudo-wav construction,
+active-learning integration, TensorBoard logging — but a TPU-native
+execution model: one jitted XLA program per duration bucket for train and
+eval (runner/trainer.py), on-device batched metrics, a threaded async
+sampler instead of a spawned process, and no OOM-retry machinery (static
+bucketed shapes make memory compile-time constant; SURVEY.md section 2.10).
+"""
+from __future__ import annotations
+
+import copy
+import math
+import os
+import random
+import time
+from collections import defaultdict
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..active.sampler import (
+    ACTIVE_BUFFER_NUM,
+    AsyncSampler,
+    make_scoring_fn,
+    matching,
+    thresholding,
+)
+from ..data.datasets import DATASET_REGISTRY
+from ..data.loader import DataLoader, default_buckets
+from ..metrics import DEVICE_BATCH_METRICS, METRIC_REGISTRY, build_metrics
+from ..objectives import build_objective
+from ..ops.audio import MAX_POSITIONS_LEN
+from . import checkpoint as ckpt_lib
+from .optim import build_optimizer
+from .trainer import StepBuilder, TrainState, make_context
+
+LOG_WAV_NUM = 3
+
+
+def tb_logging(logger, step, tag, data, mode="scalar", preprocessor=None):
+    """Scalar/audio/spectrogram logging helper
+    (/root/reference/runner.py:36-55 shape)."""
+    if mode == "scalar":
+        logger.add_scalar(tag, float(np.asarray(data).reshape(-1)[0])
+                          if np.ndim(data) else float(data), global_step=step)
+    elif mode == "audio":
+        data = np.asarray(data).reshape(-1)
+        peak = np.abs(data).max()
+        if peak > 0:
+            data = data / peak
+        sr = preprocessor._sample_rate if preprocessor is not None else 16000
+        logger.add_audio(f"{tag}.wav", data.reshape(-1, 1), global_step=step,
+                         sample_rate=sr)
+        if preprocessor is not None:
+            from ..ops.features import get_feat_config
+            from ..utils.plotting import plot_spectrogram
+
+            (linear,) = preprocessor(
+                jnp.asarray(data, jnp.float32).reshape(1, 1, -1),
+                [get_feat_config("linear", log=True)],
+            )
+            logger.add_figure(f"{tag}.png", plot_spectrogram(np.asarray(linear[0])),
+                              global_step=step)
+    else:
+        raise NotImplementedError(mode)
+
+
+class Runner:
+    """Handler for the complete training and evaluation lifecycle."""
+
+    def __init__(self, args, config, preprocessor, upstream, upstream2,
+                 downstream, expdir, eps: float = 1e-6):
+        from tensorboardX import SummaryWriter
+
+        self.args = args
+        self.config = config
+        self.rconfig = config["runner"]
+        self.preprocessor = preprocessor
+        self.upstream_model = upstream
+        self.upstream_model2 = upstream2
+        self.downstream_model = downstream
+        self.expdir = expdir
+        self.eps = eps
+
+        self.global_step = 1
+        self.log = SummaryWriter(expdir)
+        self.logging = partial(tb_logging, logger=self.log,
+                               preprocessor=preprocessor)
+
+        self.metric_names = list(self.rconfig["eval_metrics"])
+        self.metrics = build_metrics(self.metric_names)
+        criterion_config = config.get("objective", {}).get(args.objective, {}) or {}
+        self.objective = build_objective(args.objective, **criterion_config)
+
+        self.grad_clip = float(self.rconfig["gradient_clipping"])
+        self.pseudo_clean = None
+        self.pseudo_noise = None
+        self.sampler: Optional[AsyncSampler] = None
+        self.rng = jax.random.PRNGKey(args.seed)
+
+        sr = preprocessor.config.sample_rate
+        train_sec = self._dataset_conf("train").get("max_time", 10000)
+        self.buckets = default_buckets(sr, train_sec)
+
+    # ------------------------------------------------------------------
+    def _dataset_conf(self, mode: str) -> dict:
+        ds_type = getattr(self.args, "trainset", None) or "OnlineDataset"
+        key = f"{ds_type}_{'test' if mode in ('test',) else 'train'}"
+        return self.config.get(key, {})
+
+    def set_model(self):
+        total = int(self.rconfig["total_step"])
+        optimizer = build_optimizer(
+            self.args.optim,
+            float(self.rconfig["learning_rate"]),
+            float(self.rconfig.get("warmup_proportion", 0.07)),
+            total,
+        )
+        self.builder = StepBuilder(
+            preprocessor=self.preprocessor,
+            model=self.downstream_model,
+            objective=self.objective,
+            optimizer=optimizer,
+            upstream=self.upstream_model,
+            from_waveform=bool(getattr(self.args, "from_waveform", False)),
+            from_rawfeature=bool(getattr(self.args, "from_rawfeature", False)),
+            channel_inp=self.preprocessor.channel_inp,
+            channel_tar=self.preprocessor.channel_tar,
+            grad_clip=self.grad_clip,
+            eval_metrics=tuple(
+                m for m in self.metric_names if m in DEVICE_BATCH_METRICS
+            ),
+            sample_rate=self.preprocessor.config.sample_rate,
+        )
+        example = jnp.zeros((2, 3, self.buckets[0]), jnp.float32)
+        lengths = jnp.asarray([self.buckets[0], self.buckets[0] // 2])
+        self.state = self.builder.init_state(self.rng, example, lengths)
+        self.train_step = self.builder.train_step_fn()
+        self.eval_step = self.builder.eval_step_fn()
+
+        if getattr(self.args, "dckpt", ""):
+            self._warm_start_downstream(self.args.dckpt)
+        if getattr(self.args, "resume", None):
+            self.load_model(self.args.resume)
+
+    def _warm_start_downstream(self, dckpt: str):
+        """--dckpt warm start (/root/reference/run_downstream.py:212-217):
+        accepts either our native checkpoints or torch S3PRL ones."""
+        try:
+            payload = ckpt_lib.load_checkpoint(dckpt)
+            params = payload["Downstream"]
+        except Exception:  # torch checkpoint fallback
+            import torch
+
+            from ..models.torch_import import convert_downstream_state
+
+            t = torch.load(dckpt, map_location="cpu", weights_only=False)
+            sd = t["Downstream"] if "Downstream" in t else {
+                ".".join(k.split(".")[1:]): v for k, v in t["SmallModel"].items()
+            }
+            params = {"params": convert_downstream_state(sd, self.args.downstream)}
+        self.state = TrainState(
+            jax.tree.map(jnp.asarray, params), self.state.opt_state, self.state.step
+        )
+
+    def load_model(self, path: str):
+        payload = ckpt_lib.load_checkpoint(path)
+        self.state = TrainState(
+            jax.tree.map(jnp.asarray, payload["Downstream"]),
+            jax.tree.map(jnp.asarray, payload["Optimizer"]),
+            jnp.asarray(payload["Global_step"], jnp.int32),
+        )
+        self.global_step = int(payload["Global_step"])
+
+    def save_model(self, save_type: Optional[str] = None):
+        save_dir = (
+            self.expdir if save_type is None else os.path.join(self.expdir, save_type)
+        )
+        ckpt_lib.save_checkpoint(
+            save_dir,
+            self.global_step,
+            self.state.params,
+            self.state.opt_state,
+            self.config,
+            vars(self.args),
+            max_keep=int(self.rconfig.get("max_keep", 2)),
+        )
+
+    # -- datasets -------------------------------------------------------
+    def get_dataset(self, mode: str = "train", ds_type: Optional[str] = None):
+        """Dataset-mode factory (/root/reference/runner.py:154-200): the
+        seven modes and their config surgery."""
+        ds_type = ds_type or getattr(self.args, "trainset", None) or "OnlineDataset"
+        train_conf = copy.deepcopy(self.config[f"{ds_type}_train"])
+        test_conf = copy.deepcopy(self.config[f"{ds_type}_test"])
+
+        if mode == "train":
+            ds_conf = train_conf
+        elif mode == "subtrain":
+            ds_conf = train_conf
+            ds_conf["infinite"] = False
+        elif mode == "dev":
+            ds_conf = test_conf
+            ds_conf["speech"] = train_conf["speech"]
+            ds_conf["speech"]["sample_num"] = self.args.dev_num
+            ds_conf["speech"]["select_sampled"] = True
+            ds_conf["half_noise"] = "front"
+        elif mode == "test":
+            ds_conf = test_conf
+        elif mode == "record":
+            ds_conf = test_conf
+            ds_conf["speech"]["sample_num"] = self.args.record_num
+            ds_conf["speech"]["select_sampled"] = True
+            ds_conf["half_noise"] = "front"
+        elif mode == "query":
+            ds_conf = train_conf
+            ds_conf["pseudo_modes"] = [3]
+        elif mode == "query_dev":
+            ds_conf = test_conf
+            ds_conf["pseudo_modes"] = [3]
+            ds_conf["speech"] = train_conf["speech"]
+            ds_conf["speech"]["sample_num"] = self.args.dev_num
+            ds_conf["speech"]["select_sampled"] = True
+        else:
+            raise ValueError(f"unknown dataset mode {mode}")
+
+        if isinstance(ds_conf.get("pseudo_modes"), list):
+            if self.pseudo_clean is None or self.pseudo_noise is None:
+                self._build_pseudo_wavs()
+
+        dataset = DATASET_REGISTRY[ds_type](
+            **ds_conf, pseudo_clean=self.pseudo_clean, pseudo_noise=self.pseudo_noise
+        )
+        if mode == "subtrain":
+            dataset = dataset.get_subset(n_file=100)
+        print(f"[runner] {mode} dataset ready: {len(dataset)} utterances", flush=True)
+        return dataset
+
+    def get_dataloader(self, dataset, train: bool = True, bsz: Optional[int] = None):
+        if bsz is None:
+            dl = self.config["dataloader"]
+            bsz = dl["batch_size"] if train else dl["eval_batch_size"]
+        return DataLoader(
+            dataset,
+            batch_size=bsz,
+            shuffle=train,
+            num_workers=self.args.n_jobs,
+            buckets=self.buckets,
+            drop_last=train,
+        )
+
+    # -- pseudo wavs ----------------------------------------------------
+    def _decode_wav(self, linear, phase, lengths, max_len, target_level=-25):
+        return self.builder.decode_wav(linear, phase, lengths, max_len, target_level)
+
+    def _pseudo_wav(self, upstream, wavs, phase_inp, lengths, max_len):
+        feats = jnp.swapaxes(wavs, 1, 2) if self.builder.from_waveform else None
+        ctx_feats = self.preprocessor(wavs)
+        hidden = upstream(ctx_feats[0])
+        linear_predicted = upstream.spec_head(hidden)
+        return self._decode_wav(linear_predicted, phase_inp, lengths, max_len)
+
+    def _build_pseudo_wavs(self):
+        """Generate pseudo-clean/pseudo-noise waveforms from the two
+        upstreams over the record split (/root/reference/runner.py:287-305)."""
+        recordset = self.get_dataset("record")
+        loader = self.get_dataloader(recordset, train=False, bsz=len(recordset))
+        lengths, wavs = next(iter(loader))[:2]
+        for ch, tag in [(0, "noisy"), (1, "clean"), (2, "noise")]:
+            self.logging(step=1, tag=f"record/{tag}", data=wavs[:, ch, :], mode="audio")
+
+        wavs_j = jnp.asarray(wavs)
+        lengths_j = jnp.asarray(lengths)
+        feats = self.preprocessor(wavs_j)
+        phase_inp = feats[3]
+        max_len = wavs.shape[-1]
+
+        pc = np.asarray(
+            self._pseudo_wav(self.upstream_model, wavs_j, phase_inp, lengths_j, max_len)
+        )
+        self.logging(step=1, tag="record/pseudo_clean", data=pc, mode="audio")
+        self.pseudo_clean = [w[:l] for w, l in zip(pc, np.asarray(lengths))]
+
+        pn = np.asarray(
+            self._pseudo_wav(self.upstream_model2, wavs_j, phase_inp, lengths_j, max_len)
+        )
+        self.logging(step=1, tag="record/pseudo_noise", data=pn, mode="audio")
+        self.pseudo_noise = [w[:l] for w, l in zip(pn, np.asarray(lengths))]
+
+    # -- sampler lifecycle ---------------------------------------------
+    def _sampler_device(self):
+        idx = getattr(self.args, "sampler_device", None)
+        if idx is None:
+            return None
+        devs = jax.devices()
+        return devs[idx] if idx < len(devs) else devs[-1]
+
+    def _start_sampler(self):
+        scoring = make_scoring_fn(self.builder, getattr(self.args, "active_layerid", None))
+        queryset = self.get_dataset("query")
+        queryloader = self.get_dataloader(
+            queryset, train=True, bsz=int(self.rconfig["active_query_num"])
+        )
+        query_batch = next(iter(queryloader))
+        candidates = self.get_dataset("train")
+        candidates.pseudo_modes = list(range(ACTIVE_BUFFER_NUM))
+
+        self.sampler = AsyncSampler(
+            scoring_fn=scoring,
+            params=self.state.params,
+            dataset=candidates,
+            loader_factory=lambda: self.get_dataloader(
+                candidates, train=True, bsz=self.config["dataloader"]["batch_size"]
+            ),
+            query_batch=query_batch,
+            sample_num=int(self.rconfig["sampler_sample_num"]),
+            device=self._sampler_device(),
+        )
+        self.sampler.start()
+
+    def _kill_sampler(self):
+        if self.sampler is not None:
+            self.sampler.stop()
+            self.sampler = None
+
+    # -- train ----------------------------------------------------------
+    def train(self):
+        total_steps = int(self.rconfig["total_step"])
+
+        eval_settings = []
+        for split_name in self.rconfig["eval_splits"]:
+            split_dataset = self.get_dataset(split_name)
+            split_loader = self.get_dataloader(split_dataset, train=False)
+            eval_settings.append(
+                (split_name, split_loader, np.zeros(len(self.metrics)))
+            )
+
+        def eval_and_log(log_media=False):
+            for split_name, split_loader, metrics_best in eval_settings:
+                loss, scores, *eval_wavs = self.evaluate(split_loader)
+                self.log.add_scalar(f"{split_name}_loss", float(loss), self.global_step)
+                for score, mname in zip(scores, self.metric_names):
+                    self.log.add_scalar(
+                        f"{split_name}_{mname}", float(score), self.global_step
+                    )
+                if (scores > metrics_best).sum() > 0:
+                    np.maximum(metrics_best, scores, out=metrics_best)
+                    if self.args.save_best:
+                        self.save_model(split_name)
+                if log_media:
+                    for idx, ws in enumerate(zip(*eval_wavs)):
+                        for tag, wav in zip(["noisy", "clean", "enhanced"], ws):
+                            self.logging(
+                                step=self.global_step,
+                                tag=f"{split_name}-{tag}-{idx}",
+                                data=wav, mode="audio",
+                            )
+
+        if self.args.eval_init:
+            eval_and_log()
+
+        trainset = self.get_dataset("train")
+        if self.args.sync_sampler:
+            queryset = self.get_dataset("query")
+            queryloader = self.get_dataloader(
+                queryset, bsz=int(self.rconfig["active_query_num"])
+            )
+            query_iter = iter(queryloader)
+            trainloader = self.get_dataloader(
+                trainset, bsz=self.config["dataloader"]["active_batch_size"]
+            )
+            scoring = make_scoring_fn(
+                self.builder, getattr(self.args, "active_layerid", None)
+            )
+        else:
+            trainloader = self.get_dataloader(trainset)
+
+        loss_sum, last_lognorm = 0.0, 0.0
+        active_samples: Dict[int, Dict[int, list]] = defaultdict(
+            lambda: defaultdict(list)
+        )
+        t_start = time.time()
+
+        done = False
+        while not done:
+            for batch in trainloader:
+                if self.global_step > total_steps:
+                    done = True
+                    break
+                lengths, wavs = batch[0], batch[1]
+                cases = batch[2] if len(batch) == 3 else None
+
+                # -- async sampler collection (runner.py:374-381)
+                if getattr(self.args, "sampler_device", None) is not None:
+                    if self.sampler is None or not self.sampler.alive:
+                        self._start_sampler()
+                    if self.global_step % int(self.rconfig["sampler_collect_step"]) == 0:
+                        for key, samples in self.sampler.collect().items():
+                            active_samples[self.global_step][key] += samples
+
+                # -- sync in-loop scoring (runner.py:383-411)
+                if self.args.sync_sampler:
+                    try:
+                        q_lengths, q_wavs, _ = next(query_iter)
+                    except StopIteration:
+                        query_iter = iter(queryloader)
+                        q_lengths, q_wavs, _ = next(query_iter)
+                    q_scores = scoring(self.state.params, q_wavs, q_lengths, mean=True)
+                    t_scores = scoring(self.state.params, wavs, lengths)
+                    match = np.asarray(matching(q_scores, t_scores))
+                    for idx in np.nonzero(match > 0)[0]:
+                        active_samples[self.global_step][int(cases[idx])].append(
+                            {
+                                "wavs": wavs[idx, :, : int(lengths[idx])].T.copy(),
+                                "match_score": float(match[idx]),
+                            }
+                        )
+
+                # -- merge + weighted resample (runner.py:413-429)
+                if self.args.active_sampling:
+                    prev = self.global_step - int(self.rconfig["active_refresh_step"])
+                    if prev > 1:
+                        active_samples.pop(prev, None)
+                    merged: Dict[int, list] = defaultdict(list)
+                    for step_samples in active_samples.values():
+                        for key, value in step_samples.items():
+                            merged[key] += value
+                    weights = self.rconfig["active_buffer_weights"]
+                    pairs = [
+                        (i, w) for i, w in enumerate(weights) if len(merged[i]) > 0
+                    ]
+                    if pairs:
+                        keys = [p[0] for p in pairs]
+                        ws = [p[1] for p in pairs]
+                        types = random.choices(
+                            keys, ws, k=self.config["dataloader"]["batch_size"]
+                        )
+                        chosen = [random.choice(merged[t])["wavs"] for t in types]
+                        collated = trainloader._collate(chosen)
+                        lengths, wavs = collated[0], collated[1]
+
+                # -- the compiled step
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, stats = self.train_step(
+                    self.state, jnp.asarray(wavs), jnp.asarray(lengths), step_rng
+                )
+                loss_sum += float(stats["loss"])
+                last_lognorm = float(stats["grad_norm"])
+
+                # -- periodic work (runner.py:474-498)
+                if self.global_step % int(self.rconfig["log_step"]) == 0:
+                    loss_avg = loss_sum / int(self.rconfig["log_step"])
+                    self.log.add_scalar("loss", loss_avg, self.global_step)
+                    self.log.add_scalar("gradient norm", last_lognorm, self.global_step)
+                    steps_s = int(self.rconfig["log_step"]) / max(
+                        time.time() - t_start, 1e-9
+                    )
+                    self.log.add_scalar("steps_per_sec", steps_s, self.global_step)
+                    print(
+                        f"[runner] step {self.global_step}/{total_steps} | "
+                        f"loss {loss_avg:.5f} | grad_norm {last_lognorm:.4f} | "
+                        f"{steps_s:.2f} steps/s",
+                        flush=True,
+                    )
+                    t_start = time.time()
+                    loss_sum = 0.0
+
+                if "media_step" in self.rconfig and self.global_step % int(
+                    self.rconfig["media_step"]
+                ) == 0:
+                    for ch, tag in [(0, "noisy"), (1, "clean"), (2, "noise")]:
+                        if wavs.shape[1] > ch:
+                            self.logging(step=self.global_step, tag=tag,
+                                         data=wavs[:, ch, :], mode="audio")
+
+                if (
+                    self.args.active_sampling
+                    and self.global_step % int(self.rconfig["sampler_refresh_step"]) == 0
+                ):
+                    self._kill_sampler()
+
+                if self.global_step % int(self.rconfig["eval_step"]) == 0:
+                    log_media = (
+                        "media_step" in self.rconfig
+                        and self.global_step % int(self.rconfig["media_step"]) == 0
+                    )
+                    eval_and_log(log_media)
+
+                if "save_step" in self.rconfig and self.global_step % int(
+                    self.rconfig["save_step"]
+                ) == 0:
+                    self.save_model()
+
+                self.global_step += 1
+
+        self._kill_sampler()
+        self.save_model()
+        self.log.flush()
+
+    # -- evaluate --------------------------------------------------------
+    def evaluate(self, dataloader=None):
+        """Eval with the reference's reduction semantics: per-batch metric
+        means then averaged over batches (/root/reference/runner.py:613-615),
+        deterministic reseeding (runner.py:522-527)."""
+        random.seed(self.args.seed)
+        np.random.seed(self.args.seed)
+
+        if dataloader is None:
+            testset = self.get_dataset("test")
+            dataloader = self.get_dataloader(testset, train=False)
+
+        n_batches = len(dataloader)
+        sample_interval = max(int(n_batches / LOG_WAV_NUM), 1)
+        sample_indices = set(range(0, n_batches, sample_interval))
+        noisy_wavs, clean_wavs, enhanced_wavs = [], [], []
+
+        device_names = [m for m in self.metric_names if m in DEVICE_BATCH_METRICS]
+        host_names = [m for m in self.metric_names if m not in DEVICE_BATCH_METRICS]
+
+        loss_sum = 0.0
+        scores_sum = np.zeros(len(self.metric_names))
+        for indice, batch in enumerate(dataloader):
+            lengths, wavs = batch[0], batch[1]
+            out = self.eval_step(
+                self.state.params, jnp.asarray(wavs), jnp.asarray(lengths)
+            )
+            loss_sum += float(out["loss"])
+
+            batch_scores_np: Dict[str, float] = {
+                name: float(np.asarray(vals).mean())
+                for name, vals in out["scores"].items()
+            }
+            if host_names:
+                wp = np.asarray(out["wav_predicted"])
+                wt = np.asarray(out["wav_tar"])
+                for name in host_names:
+                    fn = METRIC_REGISTRY[name]
+                    vals = [
+                        fn(wp[i][: int(lengths[i])], wt[i][: int(lengths[i])])
+                        for i in range(len(lengths))
+                    ]
+                    batch_scores_np[name] = float(np.mean(vals))
+            scores_sum += np.array(
+                [batch_scores_np.get(m, np.nan) for m in self.metric_names]
+            )
+
+            if indice in sample_indices and len(enhanced_wavs) < LOG_WAV_NUM:
+                L = int(lengths[0])
+                noisy_wavs.append(np.asarray(out["wav_inp"])[0][:L])
+                clean_wavs.append(np.asarray(out["wav_tar"])[0][:L])
+                enhanced_wavs.append(np.asarray(out["wav_predicted"])[0][:L])
+
+        loss_avg = loss_sum / n_batches
+        scores_avg = scores_sum / n_batches
+        named = ", ".join(
+            f"{m} {v:.4f}" for m, v in zip(self.metric_names, scores_avg)
+        )
+        print(f"[runner] evaluate: loss {loss_avg:.5f} | {named}", flush=True)
+        return loss_avg, scores_avg, noisy_wavs, clean_wavs, enhanced_wavs
+
+    # -- gradient diagnostic ---------------------------------------------
+    def test_gradient(self):
+        """Boxplot of gradient-cosine similarity per pseudo case
+        (/root/reference/runner.py:625-674) saved to expdir/sim_box.png."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self._build_pseudo_wavs()
+        scoring = make_scoring_fn(
+            self.builder, getattr(self.args, "active_layerid", None)
+        )
+
+        queryset = self.get_dataset("query")
+        trainset = self.get_dataset("train")
+        trainset.pseudo_modes = list(range(ACTIVE_BUFFER_NUM))
+
+        from ..data.loader import infinite_iterator
+
+        query_loader = infinite_iterator(
+            self.get_dataloader(queryset, bsz=self.config["dataloader"]["batch_size"])
+        )
+        train_loader = infinite_iterator(
+            self.get_dataloader(trainset, bsz=self.config["dataloader"]["batch_size"])
+        )
+
+        similarities = defaultdict(list)
+        for _ in range(int(self.args.n_iterate or 10)):
+            q_lengths, q_wavs, _ = next(query_loader)
+            t_lengths, t_wavs, cases = next(train_loader)
+            if q_wavs.shape == t_wavs.shape and np.allclose(q_wavs, t_wavs):
+                continue
+            q = scoring(self.state.params, q_wavs, q_lengths, mean=True)
+            t = scoring(self.state.params, t_wavs, t_lengths)
+            sim = np.asarray(matching(q, t))
+            for s, c in zip(sim, cases):
+                similarities[int(c)].append(float(s))
+
+        plt.figure()
+        plt.boxplot([similarities[i] or [0.0] for i in range(ACTIVE_BUFFER_NUM)])
+        plt.savefig(os.path.join(self.expdir, "sim_box.png"))
+        return similarities

@@ -1,0 +1,229 @@
+"""Compiled train/eval steps.
+
+The reference's hot loop (/root/reference/runner.py:361-511) runs
+preprocess → forward → loss → backward → clip → step as separate torch
+calls with host round-trips; here the ENTIRE step — STFT feature
+extraction, upstream/head forward, objective, backward, global-norm clip,
+non-finite-guard and optimizer update — is one XLA program per duration
+bucket, jitted with donated buffers. Eval similarly fuses forward, iSTFT
+decode, level renorm, loss and the on-device metrics into one program.
+
+The reference's NaN/Inf grad-norm guard (runner.py:467-471: skip the
+update, keep going) becomes a ``jnp.where`` on the update, so it costs
+nothing and stays on device.
+
+Data parallelism (absent in the reference — SURVEY.md parallelism
+inventory) is layered on by ``parallel/mesh.py`` via sharding constraints
+on the batch dimension; the step functions here are sharding-agnostic.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..metrics import DEVICE_BATCH_METRICS, batch_scores
+from ..ops.audio import length_masks, masked_normalize_decibel
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def make_context(
+    preprocessor,
+    wavs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    channel_inp: int,
+    channel_tar: int,
+) -> Dict[str, jnp.ndarray]:
+    """Extract the six-feature bundle and assemble the objective context
+    (the typed replacement for ``remove_self(locals())``,
+    /root/reference/runner.py:433-458; SURVEY.md section 7 item 3)."""
+    feats = preprocessor(wavs)
+    (
+        feats_for_upstream,
+        feats_for_downstream,
+        linear_inp,
+        phase_inp,
+        linear_tar,
+        phase_tar,
+    ) = feats
+
+    hop = preprocessor._win_args["hop_length"]
+    stft_lengths = lengths // hop + 1
+    stft_masks = length_masks(stft_lengths, linear_inp.shape[1])
+
+    return {
+        "wavs": wavs,
+        "lengths": lengths,
+        "feats_for_upstream": feats_for_upstream,
+        "feats_for_downstream": feats_for_downstream,
+        "linear_inp": linear_inp,
+        "phase_inp": phase_inp,
+        "linear_tar": linear_tar,
+        "phase_tar": phase_tar,
+        "stft_lengths": stft_lengths,
+        "stft_length_masks": stft_masks,
+        "wav_inp": wavs[:, channel_inp, :],
+        "wav_tar": wavs[:, channel_tar, :],
+    }
+
+
+@dataclasses.dataclass
+class StepBuilder:
+    """Closes over all static configuration and builds jitted step fns."""
+
+    preprocessor: Any
+    model: Any                      # flax module (downstream head)
+    objective: Any                  # callable(**ctx) -> (loss, aux)
+    optimizer: optax.GradientTransformation
+    upstream: Any = None            # bound upstream (UpstreamTransformer/Dummy)
+    from_waveform: bool = False
+    from_rawfeature: bool = True
+    channel_inp: int = 0
+    channel_tar: int = 1
+    grad_clip: float = 1.0
+    eval_metrics: Tuple[str, ...] = ("sisdr",)
+    sample_rate: int = 16000
+    donate: bool = True
+
+    # -- shared forward ------------------------------------------------
+    def _down_inp(self, ctx):
+        if self.from_waveform:
+            # upstream consumes raw waveform channels (B, T, C)
+            return jnp.swapaxes(ctx["wavs"], 1, 2)
+        if self.from_rawfeature:
+            return ctx["feats_for_downstream"]
+        assert self.upstream is not None, "--from_* unset requires an upstream"
+        return self.upstream(ctx["feats_for_upstream"])
+
+    def _forward(self, params, ctx, train: bool, rngs=None):
+        down_inp = self._down_inp(ctx)
+        kwargs = {}
+        if rngs is not None:
+            kwargs["rngs"] = rngs
+        predicted, aux = self.model.apply(
+            params, features=down_inp, linears=ctx["linear_inp"], **kwargs
+        )
+        return predicted, aux
+
+    def loss_fn(self, params, ctx, rngs=None):
+        predicted, aux = self._forward(params, ctx, train=True, rngs=rngs)
+        full_ctx = {**ctx, "predicted": predicted, **aux}
+        loss, obj_aux = self.objective(**full_ctx)
+        return loss, (predicted, aux, obj_aux)
+
+    # -- train ----------------------------------------------------------
+    def train_step_fn(self):
+        def step(state: TrainState, wavs, lengths, rng):
+            ctx = make_context(
+                self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
+            )
+            rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+            (loss, _), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                state.params, ctx, rngs
+            )
+            grad_norm = optax.global_norm(grads)
+            # grad clip happens inside the optimizer chain (BertAdam) OR here
+            # for plain Adam; replicate the reference's pre-step global clip
+            # (/root/reference/runner.py:463-464)
+            scale = jnp.minimum(1.0, self.grad_clip / (grad_norm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+
+            updates, new_opt = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            # non-finite guard: skip the update, keep the step counter
+            # (/root/reference/runner.py:467-471)
+            ok = jnp.isfinite(grad_norm)
+            new_params = jax.tree.map(
+                lambda p, u: jnp.where(ok, p + u, p), state.params, updates
+            )
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_opt, state.opt_state
+            )
+            new_state = TrainState(new_params, new_opt, state.step + 1)
+            return new_state, {"loss": loss, "grad_norm": grad_norm, "skipped": ~ok}
+
+        donate = (0,) if self.donate else ()
+        return jax.jit(step, donate_argnums=donate)
+
+    # -- eval -----------------------------------------------------------
+    def decode_wav(self, predicted, phase_inp, lengths, max_len, target_level):
+        """iSTFT + zero-pad to max_len + renorm to target level
+        (/root/reference/runner.py:266-270)."""
+        wav = self.preprocessor.istft(predicted, phase_inp)
+        pad = max_len - wav.shape[-1]
+        if pad > 0:
+            wav = jnp.pad(wav, ((0, 0), (0, pad)))
+        else:
+            wav = wav[:, :max_len]
+        masks = length_masks(lengths, max_len)
+        return masked_normalize_decibel(wav, target_level, masks)
+
+    def eval_step_fn(self):
+        def step(params, wavs, lengths):
+            ctx = make_context(
+                self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
+            )
+            predicted, aux = self._forward(params, ctx, train=False)
+            max_len = wavs.shape[-1]
+            wav_predicted = self.decode_wav(
+                predicted, ctx["phase_inp"], lengths, max_len, ctx["wav_tar"]
+            )
+            masks = length_masks(lengths, max_len)
+            full_ctx = {
+                **ctx,
+                "predicted": predicted,
+                **aux,
+                "wav_predicted": wav_predicted,
+                "length_masks": masks,
+            }
+            loss, _ = self.objective(**full_ctx)
+            scores = batch_scores(
+                self.eval_metrics, wav_predicted, ctx["wav_tar"], lengths,
+                self.sample_rate,
+            )
+            return {
+                "loss": loss,
+                "scores": scores,
+                "wav_predicted": wav_predicted,
+                "wav_inp": ctx["wav_inp"],
+                "wav_tar": ctx["wav_tar"],
+            }
+
+        return jax.jit(step)
+
+    # -- state ----------------------------------------------------------
+    def init_state(self, rng, example_wavs, example_lengths) -> TrainState:
+        ctx = make_context(
+            self.preprocessor, example_wavs, example_lengths,
+            self.channel_inp, self.channel_tar,
+        )
+        down_inp = self._down_inp(ctx)
+        params = self.model.init(
+            {"params": rng, "dropout": rng},
+            features=down_inp, linears=ctx["linear_inp"],
+        )
+        opt_state = self.optimizer.init(params)
+        return TrainState(params, opt_state, jnp.zeros([], jnp.int32))
