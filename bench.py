@@ -35,10 +35,11 @@ def main():
     utt_sec = 10
     T = sr * utt_sec
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    rng = np.random.default_rng(0)
-    wavs = jnp.asarray(
-        rng.standard_normal((batch, 3, T)).astype(np.float32) * 0.05
-    )
+    # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
+    # slow and must not pollute the compute measurement
+    wavs = jax.jit(
+        lambda k: jax.random.normal(k, (batch, 3, T), jnp.float32) * 0.05
+    )(jax.random.PRNGKey(0))
     lengths = jnp.full((batch,), T, jnp.int32)
 
     # scalar-reduced output: the sum depends on every enhanced sample, so

@@ -103,7 +103,8 @@ class stoi:
     def __call__(self, wav_predicted, wav_tar, length_masks, **kwargs):
         src = wav_predicted * length_masks
         tar = wav_tar * length_masks
-        return -self._fn(src, tar).mean(), {}
+        # stoi_coeff_batch signature is (clean_reference, processed)
+        return -self._fn(tar, src).mean(), {}
 
 
 class estoi:
@@ -118,7 +119,7 @@ class estoi:
     def __call__(self, wav_predicted, wav_tar, length_masks, **kwargs):
         src = wav_predicted * length_masks
         tar = wav_tar * length_masks
-        return -self._fn(src, tar).mean(), {}
+        return -self._fn(tar, src).mean(), {}
 
 
 class pmsqe:
