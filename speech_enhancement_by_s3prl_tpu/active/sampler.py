@@ -87,8 +87,8 @@ def make_scoring_fn(
         return g
 
     def per_sample_grads(params, wavs, lengths):
-        def one(w, l):
-            return batch_loss(params, w[None], l[None])
+        def one(p, w, l):
+            return batch_loss(p, w[None], l[None])
 
         return jax.vmap(jax.grad(one), in_axes=(None, 0, 0))(params, wavs, lengths)
 

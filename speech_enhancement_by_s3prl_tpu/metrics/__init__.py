@@ -90,8 +90,10 @@ METRIC_REGISTRY: Dict[str, Callable] = {
     "pesq_wb": pesq_wb_eval,
 }
 
-# metrics computable fully on-device for a whole batch
-DEVICE_BATCH_METRICS = ("sisdr", "stoi", "estoi")
+# metrics computable fully on-device for a whole batch (PESQ is the JAX
+# P.862-model implementation — see metrics/pesq_jax.py for its fidelity
+# statement)
+DEVICE_BATCH_METRICS = ("sisdr", "stoi", "estoi", "pesq_nb", "pesq_wb")
 
 
 def build_metrics(names: Sequence[str]) -> List[Callable]:
@@ -123,5 +125,12 @@ def batch_scores(
         elif name == "estoi":
             out[name] = stoi_coeff_batch(
                 wav_tar, wav_predicted, sample_rate, extended=True, lengths=lengths
+            )
+        elif name in ("pesq_nb", "pesq_wb"):
+            from .pesq_jax import pesq_batch
+
+            out[name] = pesq_batch(
+                wav_tar, wav_predicted, sample_rate, mode=name.split("_")[1],
+                lengths=lengths,
             )
     return out

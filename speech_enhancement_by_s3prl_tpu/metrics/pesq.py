@@ -1,11 +1,9 @@
-"""PESQ (ITU-T P.862) — host-side metric.
+"""PESQ host API.
 
-The reference scores PESQ through the `pesq` C extension
-(/root/reference/evaluation.py:12-26), which is not in this image. A native
-implementation of the full P.862 pipeline (level alignment, time alignment,
-bark-domain loudness, asymmetric disturbance aggregation, MOS-LQO mapping)
-is planned under native/; until it lands, PESQ scores are reported as NaN
-with a one-time warning instead of crashing evaluation.
+Thin per-utterance wrapper over the batched JAX P.862 model
+(metrics/pesq_jax.py) with the reference's calling convention
+(/root/reference/evaluation.py:12-26): ``pesq_mos_lqo(ref, deg, sr, mode)``
+-> MOS-LQO float, plus the near-silence warning the reference emits.
 """
 from __future__ import annotations
 
@@ -13,20 +11,21 @@ import warnings
 
 import numpy as np
 
-_warned = False
-
 
 def pesq_mos_lqo(ref: np.ndarray, deg: np.ndarray, sr: int = 16000,
                  mode: str = "nb") -> float:
-    global _warned
+    import jax.numpy as jnp
+
+    from .pesq_jax import pesq_batch
+
+    ref = np.asarray(ref, dtype=np.float32).reshape(-1)
+    deg = np.asarray(deg, dtype=np.float32).reshape(-1)
     if np.allclose(deg.sum(), 0.0, atol=1e-10) or np.allclose(
         ref.sum(), 0.0, atol=1e-10
     ):
-        warnings.warn(f"[pesq] wav values too small: deg {deg.sum()}, ref {ref.sum()}")
-    if not _warned:
         warnings.warn(
-            "PESQ native implementation pending; reporting NaN. "
-            "Use stoi/estoi/sisdr for on-device quality metrics."
+            f"[pesq] wav values too small: deg {deg.sum()}, ref {ref.sum()}"
         )
-        _warned = True
-    return float("nan")
+    return float(
+        pesq_batch(jnp.asarray(ref)[None], jnp.asarray(deg)[None], sr, mode)[0]
+    )

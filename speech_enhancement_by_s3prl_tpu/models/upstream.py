@@ -75,6 +75,7 @@ class UpstreamTransformer:
         params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
         compute_dtype=jnp.float32,
+        log_domain: bool = False,
     ):
         self.config = config
         self.options = options or UpstreamOptions()
@@ -103,6 +104,7 @@ class UpstreamTransformer:
                     (config.num_hidden_layers,), jnp.float32
                 )
         self.params = params
+        self.log_domain = log_domain
         # trainable when a dropout override asks for train-mode finetuning
         # (/root/reference/runner.py:100-107)
         self.trainable = self.options.dropout is not None
@@ -129,9 +131,14 @@ class UpstreamTransformer:
         return out
 
     def spec_head(self, hidden, params=None):
+        """Predicted linear POWER spectrum: the attached SpecHead's domain
+        handling (/root/reference/model.py:119-125) — exp when the
+        pretraining target was log-spectrum, then ReLU so downstream
+        sqrt/istft stay finite."""
         p = self.params if params is None else params
-        predicted, _ = self.head.apply({"params": p["spechead"]}, hidden)
-        return predicted
+        raw, _ = self.head.apply({"params": p["spechead"]}, hidden)
+        predicted = jnp.exp(raw) if self.log_domain else raw
+        return jax.nn.relu(predicted)
 
 
 def build_upstream(
@@ -160,6 +167,7 @@ def build_upstream(
             options=opts,
             output_size=loaded.output_size,
             params=loaded.params,
+            log_domain=loaded.log_domain,
         )
     config = TransformerConfig(input_dim=input_dim)
     return UpstreamTransformer(

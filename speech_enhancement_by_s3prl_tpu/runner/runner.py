@@ -55,8 +55,13 @@ def tb_logging(logger, step, tag, data, mode="scalar", preprocessor=None):
         if peak > 0:
             data = data / peak
         sr = preprocessor._sample_rate if preprocessor is not None else 16000
-        logger.add_audio(f"{tag}.wav", data.reshape(-1, 1), global_step=step,
-                         sample_rate=sr)
+        try:
+            logger.add_audio(f"{tag}.wav", data.reshape(-1, 1), global_step=step,
+                             sample_rate=sr)
+        except (ImportError, ModuleNotFoundError):
+            # tensorboardX audio encoding needs soundfile; fall back to the
+            # spectrogram figure only
+            pass
         if preprocessor is not None:
             from ..ops.features import get_feat_config
             from ..utils.plotting import plot_spectrogram

@@ -1,0 +1,122 @@
+"""Active-learning subsystem: gradient-embedding scoring, matching,
+pseudo-wav construction, sync sampler loop, test_gradient diagnostic."""
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_by_s3prl_tpu.active.sampler import (
+    hist_scoring,
+    hist_thresholding,
+    make_scoring_fn,
+    matching,
+    thresholding,
+)
+from speech_enhancement_by_s3prl_tpu.models.transformer import TransformerConfig
+from speech_enhancement_by_s3prl_tpu.models.upstream import UpstreamTransformer
+from tests.test_e2e import corpus, make_config, make_args, make_runner  # noqa: F401
+
+
+SMALL_TF = TransformerConfig(
+    input_dim=201, hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=32,
+)
+
+
+def small_upstream():
+    return UpstreamTransformer(SMALL_TF, input_dim=201, output_size=201)
+
+
+def test_scoring_per_sample_vs_mean(corpus, tmp_path):
+    runner, *_ = make_runner(corpus, tmp_path)
+    scoring = make_scoring_fn(runner.builder)
+    rng = np.random.default_rng(0)
+    wavs = rng.standard_normal((3, 3, 16000)).astype(np.float32) * 0.1
+    lengths = np.asarray([16000, 12000, 8000])
+
+    per = np.asarray(scoring(runner.state.params, wavs, lengths))
+    assert per.shape[0] == 3 and per.shape[1] > 1000
+    assert np.isfinite(per).all() and (np.abs(per).sum(1) > 0).all()
+
+    mean = np.asarray(scoring(runner.state.params, wavs, lengths, mean=True))
+    assert mean.shape[0] == 1 and mean.shape[1] == per.shape[1]
+
+    # cosine matching in [-1, 1]; self-match of the mean embedding is 1
+    m = np.asarray(matching(jnp.asarray(mean), jnp.asarray(mean)))
+    np.testing.assert_allclose(m, 1.0, atol=1e-5)
+    scores = np.asarray(matching(jnp.asarray(per), jnp.asarray(per)))
+    assert (np.abs(scores) <= 1 + 1e-5).all()
+    keep = np.asarray(thresholding(jnp.asarray(scores)))
+    assert keep.dtype == bool
+
+
+def test_scoring_layer_filtering(corpus, tmp_path):
+    runner, *_ = make_runner(corpus, tmp_path)
+    all_fn = make_scoring_fn(runner.builder, active_layerid=None)
+    l0_fn = make_scoring_fn(runner.builder, active_layerid=0)
+    rng = np.random.default_rng(1)
+    wavs = rng.standard_normal((2, 3, 8000)).astype(np.float32) * 0.1
+    lengths = np.asarray([8000, 8000])
+    full = np.asarray(all_fn(runner.state.params, wavs, lengths))
+    only0 = np.asarray(l0_fn(runner.state.params, wavs, lengths))
+    assert only0.shape[1] < full.shape[1]
+
+
+def test_hist_scoring(corpus, tmp_path):
+    runner, *_ = make_runner(corpus, tmp_path)
+    rng = np.random.default_rng(2)
+    wavs = jnp.asarray(rng.standard_normal((4, 3, 8000)).astype(np.float32))
+    h = np.asarray(hist_scoring(runner.preprocessor, wavs))
+    assert h.shape == (4, 201)
+    np.testing.assert_allclose(np.linalg.norm(h, axis=1), 1.0, atol=1e-4)
+    hm = hist_scoring(runner.preprocessor, wavs, mean=True)
+    assert hm.shape == (1, 201)
+    assert np.asarray(hist_thresholding(jnp.asarray([0.9, 0.5]))).tolist() == [
+        True, False,
+    ]
+
+
+def test_pseudo_wav_build_and_pseudo_dataset_modes(corpus, tmp_path):
+    """_build_pseudo_wavs with a real (random) transformer upstream
+    (/root/reference/runner.py:287-305 path), then a pseudo_modes dataset."""
+    up = small_upstream()
+    runner, config, args = make_runner(corpus, tmp_path)
+    runner.upstream_model = up
+    runner.upstream_model2 = up
+    runner._build_pseudo_wavs()
+    assert runner.pseudo_clean is not None and len(runner.pseudo_clean) == 2
+    assert all(w.ndim == 1 for w in runner.pseudo_clean)
+
+    ds = runner.get_dataset("query")  # pseudo_modes [3]
+    wavs, case = ds[0]
+    assert case == 3 and wavs.shape[1] == 3
+
+
+def test_sync_sampler_training(corpus, tmp_path):
+    """Full sync-sampler + active-sampling training loop
+    (/root/reference/runner.py:383-429 semantics)."""
+    up = small_upstream()
+    runner, config, args = make_runner(
+        corpus, tmp_path, sync_sampler=True, active_sampling=True,
+    )
+    runner.upstream_model = up
+    runner.upstream_model2 = up
+    # query/candidate sets need pseudo modes on the train config
+    runner.config["OnlineDataset_train"]["pseudo_modes"] = [0, 1, 2, 3]
+    runner.train()
+    assert runner.global_step == 5
+
+
+def test_test_gradient_diagnostic(corpus, tmp_path):
+    up = small_upstream()
+    runner, *_ = make_runner(corpus, tmp_path, n_iterate=2)
+    runner.upstream_model = up
+    runner.upstream_model2 = up
+    runner.config["OnlineDataset_train"]["pseudo_modes"] = [0, 1, 2, 3]
+    sims = runner.test_gradient()
+    assert os.path.exists(os.path.join(str(tmp_path), "sim_box.png"))
+    assert any(len(v) > 0 for v in sims.values())

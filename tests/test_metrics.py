@@ -139,6 +139,6 @@ def test_batch_scores_device_metrics():
         ["stoi", "sisdr", "estoi", "pesq_nb"],
         jnp.asarray(src), jnp.asarray(tar), lengths,
     )
-    assert set(scores) == {"stoi", "sisdr", "estoi"}  # pesq is host-side
+    assert set(scores) == {"stoi", "sisdr", "estoi", "pesq_nb"}
     for v in scores.values():
         assert v.shape == (3,) and np.isfinite(np.asarray(v)).all()

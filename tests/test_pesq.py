@@ -1,0 +1,80 @@
+"""PESQ model sanity: range, ordering with SNR, masking invariance.
+
+(The ITU binary is absent from this image; these tests pin the behavioral
+invariants any P.862-faithful implementation must satisfy.)"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from speech_enhancement_by_s3prl_tpu.metrics import pesq_nb_eval, pesq_wb_eval
+from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import pesq_batch
+
+
+def _speechlike(rng, n, fs=16000):
+    t = np.arange(n) / fs
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)
+    carrier = np.convolve(rng.standard_normal(n), np.ones(3) / 3, mode="same")
+    return (env * carrier * 0.3).astype(np.float32)
+
+
+def _at_snr(x, noise, snr_db):
+    scale = np.sqrt((x**2).sum() / (10 ** (snr_db / 10) * (noise**2).sum()))
+    return x + scale * noise
+
+
+def test_pesq_identical_is_high():
+    rng = np.random.default_rng(0)
+    x = np.stack([_speechlike(rng, 32000) for _ in range(2)])
+    for mode in ("nb", "wb"):
+        mos = np.asarray(pesq_batch(jnp.asarray(x), jnp.asarray(x), mode=mode))
+        assert (mos > 4.0).all(), (mode, mos)
+        assert (mos <= 5.0).all()
+
+
+def test_pesq_decreases_with_noise():
+    rng = np.random.default_rng(1)
+    x = _speechlike(rng, 32000)
+    noise = rng.standard_normal(x.shape).astype(np.float32)
+    scores = []
+    for snr in (30.0, 10.0, 0.0, -10.0):
+        y = _at_snr(x, noise, snr)
+        scores.append(
+            float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
+        )
+    assert scores[0] > scores[1] > scores[2] > scores[3], scores
+    assert scores[0] > 3.0 and scores[3] < 2.5
+    assert all(1.0 <= s <= 5.0 for s in scores)
+
+
+def test_pesq_level_invariance():
+    """P.862 level-aligns both signals: a constant gain on the degraded
+    signal must barely change the score."""
+    rng = np.random.default_rng(2)
+    x = _speechlike(rng, 32000)
+    y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 15.0)
+    a = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
+    b = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y * 4.0)[None])[0])
+    assert abs(a - b) < 0.1
+
+
+def test_pesq_length_masking():
+    rng = np.random.default_rng(3)
+    x = _speechlike(rng, 24000)
+    y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 10.0)
+    full = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
+    xp = np.concatenate([x, np.zeros(8000, np.float32)])[None]
+    yp = np.concatenate([y, np.zeros(8000, np.float32)])[None]
+    masked = float(
+        pesq_batch(jnp.asarray(xp), jnp.asarray(yp),
+                   lengths=jnp.asarray([24000]))[0]
+    )
+    assert abs(masked - full) < 0.15
+
+
+def test_reference_eval_api():
+    rng = np.random.default_rng(4)
+    tar = _speechlike(rng, 20000)
+    src = _at_snr(tar, rng.standard_normal(tar.shape).astype(np.float32), 20.0)
+    nb = pesq_nb_eval(src, tar)
+    wb = pesq_wb_eval(src, tar)
+    assert 1.0 <= nb <= 5.0 and 1.0 <= wb <= 5.0
