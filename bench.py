@@ -25,6 +25,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: remote compiles through the axon tunnel are
+    # expensive (tens of seconds each); cache them across runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     import __graft_entry__ as graft
