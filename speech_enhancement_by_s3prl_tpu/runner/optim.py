@@ -86,10 +86,13 @@ def bert_adam(
             lambda path, _: not _no_decay(path), params
         )
 
+    sched = warmup_linear_schedule(lr, warmup_proportion, total_steps)
     chain = [
         scale_by_bert_adam(b1, b2, eps),
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
-        optax.scale_by_schedule(warmup_linear_schedule(lr, warmup_proportion, total_steps)),
+        # BertAdam evaluates the schedule at the post-increment step count
+        # (first update uses x = 1/total, not 0)
+        optax.scale_by_schedule(lambda count: sched(count + 1)),
         optax.scale(-1.0),
     ]
     if max_grad_norm is not None and max_grad_norm > 0:
