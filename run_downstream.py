@@ -95,6 +95,8 @@ def get_downstream_args():
 
     parser.add_argument("--test", action="store_true")
     parser.add_argument("--test_gradient", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="trace one train step to expdir/profile")
 
     args = parser.parse_args()
 
@@ -231,10 +233,14 @@ def main():
     random.seed(args.seed)
     np.random.seed(args.seed)
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compile cache (remote compiles are expensive)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     expdir = os.path.join(args.expdir, args.name or "default")
     os.makedirs(expdir, exist_ok=True)

@@ -450,11 +450,24 @@ class Runner:
                         collated = trainloader._collate(chosen)
                         lengths, wavs = collated[0], collated[1]
 
-                # -- the compiled step
+                # -- the compiled step (optionally traced: --profile writes
+                # a TensorBoard/XPlane trace of one step to expdir/profile)
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, stats = self.train_step(
-                    self.state, jnp.asarray(wavs), jnp.asarray(lengths), step_rng
+                profile_this = (
+                    getattr(self.args, "profile", False)
+                    and self.global_step == int(self.rconfig.get("profile_step", 10))
                 )
+                if profile_this:
+                    with jax.profiler.trace(os.path.join(self.expdir, "profile")):
+                        self.state, stats = self.train_step(
+                            self.state, jnp.asarray(wavs), jnp.asarray(lengths),
+                            step_rng,
+                        )
+                        jax.block_until_ready(stats)
+                else:
+                    self.state, stats = self.train_step(
+                        self.state, jnp.asarray(wavs), jnp.asarray(lengths), step_rng
+                    )
                 loss_sum += float(stats["loss"])
                 last_lognorm = float(stats["grad_norm"])
 

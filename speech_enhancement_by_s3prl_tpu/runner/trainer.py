@@ -108,17 +108,25 @@ class StepBuilder:
     donate: bool = True
 
     # -- shared forward ------------------------------------------------
-    def _down_inp(self, ctx):
+    def upstream_params(self):
+        """Frozen upstream weights, threaded through the jitted steps as an
+        explicit argument — closing over a 100 MB parameter tree would bake
+        it into every compiled executable as constants."""
+        return getattr(self.upstream, "params", None) if self.upstream else None
+
+    def _down_inp(self, ctx, up_params=None):
         if self.from_waveform:
             # upstream consumes raw waveform channels (B, T, C)
             return jnp.swapaxes(ctx["wavs"], 1, 2)
         if self.from_rawfeature:
             return ctx["feats_for_downstream"]
         assert self.upstream is not None, "--from_* unset requires an upstream"
+        if up_params is not None and len(jax.tree.leaves(up_params)):
+            return self.upstream(ctx["feats_for_upstream"], params=up_params)
         return self.upstream(ctx["feats_for_upstream"])
 
-    def _forward(self, params, ctx, train: bool, rngs=None):
-        down_inp = self._down_inp(ctx)
+    def _forward(self, params, ctx, train: bool, rngs=None, up_params=None):
+        down_inp = self._down_inp(ctx, up_params)
         kwargs = {}
         if rngs is not None:
             kwargs["rngs"] = rngs
@@ -127,21 +135,23 @@ class StepBuilder:
         )
         return predicted, aux
 
-    def loss_fn(self, params, ctx, rngs=None):
-        predicted, aux = self._forward(params, ctx, train=True, rngs=rngs)
+    def loss_fn(self, params, ctx, rngs=None, up_params=None):
+        predicted, aux = self._forward(
+            params, ctx, train=True, rngs=rngs, up_params=up_params
+        )
         full_ctx = {**ctx, "predicted": predicted, **aux}
         loss, obj_aux = self.objective(**full_ctx)
         return loss, (predicted, aux, obj_aux)
 
     # -- train ----------------------------------------------------------
     def train_step_fn(self):
-        def step(state: TrainState, wavs, lengths, rng):
+        def step(state: TrainState, wavs, lengths, rng, up_params):
             ctx = make_context(
                 self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
             )
             rngs = {"dropout": jax.random.fold_in(rng, state.step)}
             (loss, _), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                state.params, ctx, rngs
+                state.params, ctx, rngs, up_params
             )
             grad_norm = optax.global_norm(grads)
             # grad clip happens inside the optimizer chain (BertAdam) OR here
@@ -166,7 +176,13 @@ class StepBuilder:
             return new_state, {"loss": loss, "grad_norm": grad_norm, "skipped": ~ok}
 
         donate = (0,) if self.donate else ()
-        return jax.jit(step, donate_argnums=donate)
+        jitted = jax.jit(step, donate_argnums=donate)
+        up = self.upstream_params()
+
+        def wrapped(state, wavs, lengths, rng):
+            return jitted(state, wavs, lengths, rng, up)
+
+        return wrapped
 
     # -- eval -----------------------------------------------------------
     def decode_wav(self, predicted, phase_inp, lengths, max_len, target_level):
@@ -182,11 +198,13 @@ class StepBuilder:
         return masked_normalize_decibel(wav, target_level, masks)
 
     def eval_step_fn(self):
-        def step(params, wavs, lengths):
+        def step(params, wavs, lengths, up_params):
             ctx = make_context(
                 self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
             )
-            predicted, aux = self._forward(params, ctx, train=False)
+            predicted, aux = self._forward(
+                params, ctx, train=False, up_params=up_params
+            )
             max_len = wavs.shape[-1]
             wav_predicted = self.decode_wav(
                 predicted, ctx["phase_inp"], lengths, max_len, ctx["wav_tar"]
@@ -212,7 +230,13 @@ class StepBuilder:
                 "wav_tar": ctx["wav_tar"],
             }
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        up = self.upstream_params()
+
+        def wrapped(params, wavs, lengths):
+            return jitted(params, wavs, lengths, up)
+
+        return wrapped
 
     # -- state ----------------------------------------------------------
     def init_state(self, rng, example_wavs, example_lengths) -> TrainState:
@@ -220,7 +244,7 @@ class StepBuilder:
             self.preprocessor, example_wavs, example_lengths,
             self.channel_inp, self.channel_tar,
         )
-        down_inp = self._down_inp(ctx)
+        down_inp = self._down_inp(ctx, self.upstream_params())
         params = self.model.init(
             {"params": rng, "dropout": rng},
             features=down_inp, linears=ctx["linear_inp"],

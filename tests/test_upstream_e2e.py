@@ -1,0 +1,118 @@
+"""End-to-end coverage of the upstream-fed paths: frozen transformer
+upstream -> head (the default non-from_* wiring, /root/reference/
+run_downstream.py:251), and Mockingjay as a finetunable downstream."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_by_s3prl_tpu.models.heads import LSTM, build_head
+from speech_enhancement_by_s3prl_tpu.models.spec_head import Mockingjay
+from speech_enhancement_by_s3prl_tpu.models.transformer import TransformerConfig
+from speech_enhancement_by_s3prl_tpu.models.upstream import (
+    UpstreamOptions,
+    UpstreamTransformer,
+)
+from speech_enhancement_by_s3prl_tpu.objectives import build_objective
+from speech_enhancement_by_s3prl_tpu.ops.features import (
+    OnlinePreprocessor,
+    get_feat_config,
+)
+from speech_enhancement_by_s3prl_tpu.runner.optim import build_optimizer
+from speech_enhancement_by_s3prl_tpu.runner.trainer import StepBuilder
+
+TF = TransformerConfig(
+    input_dim=80, hidden_size=24, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=48,
+)
+
+
+def make_pre():
+    feat_list = [
+        get_feat_config("mel", 0, log=True, delta=1, cmvn=True),  # 80-dim
+        get_feat_config("mel", 0, log=True, delta=2, cmvn=False),
+        get_feat_config("linear", 0),
+        get_feat_config("phase", 0),
+        get_feat_config("linear", 1),
+        get_feat_config("phase", 1),
+    ]
+    pre = OnlinePreprocessor(feat_list=feat_list)
+    pre.channel_inp, pre.channel_tar = 0, 1
+    return pre
+
+
+def test_upstream_hidden_states_feed_head():
+    """features flow wavs -> mel+delta -> transformer -> (B, T', hidden) ->
+    LSTM head; one train step updates only head params (upstream frozen)."""
+    pre = make_pre()
+    up = UpstreamTransformer(
+        TF, input_dim=80, options=UpstreamOptions(no_grad=True), output_size=201
+    )
+    head = build_head("LSTM", input_size=up.out_dim, output_size=201,
+                      hidden_size=8, num_layers=1)
+    builder = StepBuilder(
+        preprocessor=pre, model=head, objective=build_objective("L1"),
+        optimizer=build_optimizer("Adam", 1e-3),
+        upstream=up, from_waveform=False, from_rawfeature=False,
+        eval_metrics=("sisdr",), donate=False,
+    )
+    rng = jax.random.PRNGKey(0)
+    wavs = jax.random.normal(rng, (2, 3, 8000), jnp.float32) * 0.1
+    lengths = jnp.asarray([8000, 6000])
+    state = builder.init_state(rng, wavs, lengths)
+    step = builder.train_step_fn()
+    s1, stats = step(state, wavs, lengths, rng)
+    assert np.isfinite(float(stats["loss"]))
+
+    ev = builder.eval_step_fn()
+    out = ev(s1.params, wavs, lengths)
+    assert out["wav_predicted"].shape == (2, 8000)
+    assert np.isfinite(np.asarray(out["scores"]["sisdr"])).all()
+
+
+def test_weighted_sum_and_select_layer_options():
+    pre = make_pre()
+    x = jnp.zeros((1, 3, 4000), jnp.float32)
+    feats = pre(x)
+    for opts in [
+        UpstreamOptions(weighted_sum=True),
+        UpstreamOptions(select_layer=0),
+    ]:
+        up = UpstreamTransformer(TF, input_dim=80, options=opts, output_size=201)
+        h = up(feats[0])
+        assert h.shape == (1, feats[0].shape[1], TF.hidden_size)
+
+
+def test_mockingjay_downstream_trains():
+    """Mockingjay as downstream: full encoder + spechead finetuned
+    (/root/reference/model.py:129-171)."""
+    pre = make_pre()
+    model = Mockingjay(output_size=201, config=TF, log_domain=True)
+    builder = StepBuilder(
+        preprocessor=pre, model=model, objective=build_objective("L1"),
+        optimizer=build_optimizer("Adam", 1e-4),
+        from_waveform=False, from_rawfeature=False,
+        upstream=None, eval_metrics=(), donate=False,
+    )
+    # Mockingjay consumes upstream-style features directly; emulate by
+    # from_rawfeature pointing at the 80-dim feats
+    builder.from_rawfeature = False
+
+    class FeatUp:
+        out_dim = 80
+
+        def __call__(self, f):
+            return f
+
+    builder.upstream = FeatUp()
+    rng = jax.random.PRNGKey(1)
+    wavs = jax.random.normal(rng, (2, 3, 8000), jnp.float32) * 0.1
+    lengths = jnp.asarray([8000, 8000])
+    state = builder.init_state(rng, wavs, lengths)
+    step = builder.train_step_fn()
+    p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    s1, stats = step(state, wavs, lengths, rng)
+    assert np.isfinite(float(stats["loss"]))
+    p1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    assert not np.allclose(p0, p1)
