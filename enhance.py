@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Batch enhancement CLI — the serving path.
+
+Loads a trained downstream checkpoint and enhances audio files: decode ->
+bucketed batches -> one jitted enhance program per bucket (fused STFT,
+model forward, iSTFT with noisy phase, level renorm) -> WAV out. This is
+the deployment surface the reference lacks (its only entry points are
+train/eval; SURVEY.md section 1).
+
+Usage:
+  python enhance.py --ckpt result/exp1 --downstream LSTM \
+      --inputs 'noisy/*.wav' --outdir enhanced/
+"""
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="checkpoint file or dir")
+    ap.add_argument("--inputs", required=True, help="glob/dir of noisy audio")
+    ap.add_argument("--outdir", default="enhanced")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--sample_rate", type=int, default=16000)
+    ap.add_argument("--target_level", type=float, default=-25.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.data.audio_io import load_audio, write_wav
+    from speech_enhancement_by_s3prl_tpu.data.datasets import find_audio_files
+    from speech_enhancement_by_s3prl_tpu.data.loader import (
+        bucket_length,
+        default_buckets,
+    )
+    from speech_enhancement_by_s3prl_tpu.models.heads import build_head
+    from speech_enhancement_by_s3prl_tpu.ops.audio import (
+        length_masks,
+        masked_normalize_decibel,
+    )
+    from speech_enhancement_by_s3prl_tpu.ops.features import (
+        OnlinePreprocessor,
+        get_feat_config,
+    )
+    from speech_enhancement_by_s3prl_tpu.runner.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(args.ckpt)
+    paras = payload["Settings"]["Paras"]
+    config = payload["Settings"]["Config"]
+    params = jax.tree.map(jnp.asarray, payload["Downstream"])
+
+    downstream = paras.get("downstream", "LSTM")
+    model_cfg = config.get("model", {}).get(downstream, {}) or {}
+    baseline_feat = dict(config["preprocessor"]["baseline"])
+    baseline_feat["channel"] = 0
+    feat_list = [
+        baseline_feat,
+        baseline_feat,
+        get_feat_config("linear", 0),
+        get_feat_config("phase", 0),
+        get_feat_config("linear", 0),
+        get_feat_config("phase", 0),
+    ]
+    pre = OnlinePreprocessor(feat_list=feat_list)
+    dims = pre.feat_dims()
+    model = build_head(downstream, input_size=dims[1], output_size=dims[2],
+                       **{**paras, **model_cfg})
+
+    @jax.jit
+    def enhance(params, wavs, lengths):
+        feats = pre(wavs[:, None, :])
+        _, down_feat, linear_inp, phase_inp, *_ = feats
+        predicted, _ = model.apply(params, features=down_feat,
+                                   linears=linear_inp)
+        wav = pre.istft(predicted, phase_inp)
+        pad = wavs.shape[-1] - wav.shape[-1]
+        wav = jnp.pad(wav, ((0, 0), (0, max(pad, 0))))[:, : wavs.shape[-1]]
+        masks = length_masks(lengths, wavs.shape[-1])
+        return masked_normalize_decibel(wav, args.target_level, masks)
+
+    if os.path.isdir(args.inputs):
+        files = find_audio_files(args.inputs)
+    else:
+        files = sorted(glob.glob(args.inputs))
+    assert files, f"no inputs matched {args.inputs}"
+    os.makedirs(args.outdir, exist_ok=True)
+
+    buckets = default_buckets(args.sample_rate, 30000)
+    t0 = time.time()
+    total_audio = 0.0
+    for i in range(0, len(files), args.batch_size):
+        chunk = files[i : i + args.batch_size]
+        wavs = [load_audio(f, sr=args.sample_rate)[0] for f in chunk]
+        lengths = np.array([len(w) for w in wavs])
+        T = bucket_length(int(lengths.max()), buckets)
+        batch = np.zeros((len(wavs), T), np.float32)
+        for j, w in enumerate(wavs):
+            batch[j, : len(w)] = w
+        out = np.asarray(
+            enhance(params, jnp.asarray(batch), jnp.asarray(lengths))
+        )
+        for j, f in enumerate(chunk):
+            name = os.path.splitext(os.path.basename(f))[0] + ".wav"
+            write_wav(os.path.join(args.outdir, name),
+                      out[j, : lengths[j]], args.sample_rate)
+        total_audio += lengths.sum() / args.sample_rate
+        print(f"[enhance] {min(i + args.batch_size, len(files))}/{len(files)}",
+              flush=True)
+
+    dt = time.time() - t0
+    print(f"[enhance] {len(files)} files, {total_audio:.1f}s audio in "
+          f"{dt:.1f}s wall ({total_audio / dt:.1f}x realtime incl. I/O)")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,7 +122,13 @@ def get_downstream_args():
         setattr(args, "resume", resume_ckpt)
 
     if args.wandb:
-        wandb = import_module("wandb")
+        try:
+            wandb = import_module("wandb")
+        except ModuleNotFoundError as e:
+            raise SystemExit(
+                "--wandb requires the wandb package (not installed in this "
+                "environment); TensorBoard logging is always on"
+            ) from e
         if getattr(args, "wandbid", None) is None:
             wandb.init(name=args.name, sync_tensorboard=True)
             setattr(args, "wandbid", wandb.run.id)

@@ -143,6 +143,37 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(iterator, size: int = 2):
+    """Double-buffered host->device feeding: transfer the next `size`
+    batches while the device chews on the current one (the TPU-side
+    equivalent of the reference's DataLoader worker prefetch,
+    /root/reference/runner.py:211)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        return tuple(
+            jax.device_put(x) if hasattr(x, "shape") else x for x in batch
+        )
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield batch
+
+
 def infinite_iterator(loader: DataLoader):
     """Restarting iterator (the reference's try/except-StopIteration reload,
     /root/reference/runner.py:384-388)."""

@@ -119,12 +119,14 @@ class LSTM(nn.Module):
     bidirectional: bool = False
     activation: str = "Identity"
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
         hs = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
-            compute_dtype=self.compute_dtype, name="lstm",
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            name="lstm",
         )(features)
         out_in = max(1, 2 * int(self.bidirectional)) * self.hidden_size
         log_predicted = nn.Dense(
@@ -151,12 +153,14 @@ class Residual(nn.Module):
     cmvn: bool = False
     eps: float = 1e-6
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
         offset = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
-            compute_dtype=self.compute_dtype, name="lstm",
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            name="lstm",
         )(features)
         if self.cmvn:
             offset = cmvn_t(offset, self.eps)

@@ -7,8 +7,14 @@ Replaces the reference's cuDNN ``nn.LSTM`` (/root/reference/model.py:41-42,
   (B*T, D) @ (D, 4H) that tiles onto the MXU;
 - only the hidden recurrence h @ W_hh runs inside ``lax.scan`` (unrolled by
   a small factor to amortize loop overhead);
+- for bidirectional layers BOTH directions run in a SINGLE scan: the
+  backward direction's time-flipped stream rides a leading direction axis
+  and the recurrence is one batched matmul (2, B, H) @ (2, H, 4H) — the
+  sequential loop count (which dominates LSTM latency on TPU; the per-step
+  matmuls are tiny) is halved versus two separate scans;
 - the parameter layout and gate order (i, f, g, o) match torch exactly so
-  PyTorch checkpoints import losslessly;
+  PyTorch checkpoints import losslessly (params under ``l{k}_fwd`` /
+  ``l{k}_bwd``);
 - sequences are processed fully padded — the reference feeds padded batches
   without packing (/root/reference/runner.py:453), so the backward direction
   of a BLSTM sees padding there too; we reproduce that semantics.
@@ -18,15 +24,70 @@ W_ih, orthogonal for W_hh, zeros for biases.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+class LstmDirParams(nn.Module):
+    """Parameter holder for one direction of one layer (torch layout)."""
+
+    hidden_size: int
+    input_size: int
+
+    @nn.compact
+    def __call__(self) -> Dict[str, jnp.ndarray]:
+        h4 = 4 * self.hidden_size
+        return dict(
+            w_ih=self.param("w_ih", nn.initializers.xavier_uniform(),
+                            (h4, self.input_size)),
+            w_hh=self.param("w_hh", nn.initializers.orthogonal(),
+                            (h4, self.hidden_size)),
+            b_ih=self.param("b_ih", nn.initializers.zeros, (h4,)),
+            b_hh=self.param("b_hh", nn.initializers.zeros, (h4,)),
+        )
+
+
+def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
+    """Run the gate recurrence over time.
+
+    xw: (..., B, T, 4H) precomputed input projections (+biases), possibly
+    with a leading direction axis; w_hh_t matching (..., H, 4H).
+    Returns hidden states shaped like xw[..., :H].
+    """
+    H = hidden_size
+    dt = compute_dtype
+    lead = xw.shape[:-2][:-1]  # axes before (B, T)
+    B = xw.shape[-3]
+
+    def step(carry, xw_t):
+        h, c = carry
+        gates = xw_t + jnp.einsum(
+            "...bh,...hg->...bg", h.astype(dt), w_hh_t,
+            preferred_element_type=jnp.float32,
+        )
+        i = jax.nn.sigmoid(gates[..., :H])
+        f = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros(lead + (B, H), jnp.float32),
+        jnp.zeros(lead + (B, H), jnp.float32),
+    )
+    # scan over the time axis (axis -2)
+    xw_t_major = jnp.moveaxis(xw, -2, 0)
+    _, hs = jax.lax.scan(step, init, xw_t_major, unroll=unroll)
+    return jnp.moveaxis(hs, 0, -2)
+
+
 class LstmCellScan(nn.Module):
-    """Single-direction LSTM layer over (B, T, D) with precomputed inputs."""
+    """Single-direction LSTM layer over (B, T, D)."""
 
     hidden_size: int
     reverse: bool = False
@@ -35,51 +96,26 @@ class LstmCellScan(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        d_in = x.shape[-1]
         h4 = 4 * self.hidden_size
-        w_ih = self.param("w_ih", nn.initializers.xavier_uniform(), (h4, d_in))
-        w_hh = self.param("w_hh", nn.initializers.orthogonal(), (h4, self.hidden_size))
-        b_ih = self.param("b_ih", nn.initializers.zeros, (h4,))
-        b_hh = self.param("b_hh", nn.initializers.zeros, (h4,))
-
+        p = dict(
+            w_ih=self.param("w_ih", nn.initializers.xavier_uniform(),
+                            (h4, x.shape[-1])),
+            w_hh=self.param("w_hh", nn.initializers.orthogonal(),
+                            (h4, self.hidden_size)),
+            b_ih=self.param("b_ih", nn.initializers.zeros, (h4,)),
+            b_hh=self.param("b_hh", nn.initializers.zeros, (h4,)),
+        )
         dt = self.compute_dtype
         if self.reverse:
             x = jnp.flip(x, axis=1)
-
-        # big MXU matmul: all timesteps at once
         xw = (
-            jnp.einsum(
-                "btd,hd->bth", x.astype(dt), w_ih.astype(dt),
-                preferred_element_type=jnp.float32,
-            )
-            + b_ih + b_hh
+            jnp.einsum("btd,hd->bth", x.astype(dt), p["w_ih"].astype(dt),
+                       preferred_element_type=jnp.float32)
+            + p["b_ih"] + p["b_hh"]
         )
-
-        w_hh_t = w_hh.astype(dt).T  # (H, 4H)
-        H = self.hidden_size
-
-        def step(carry, xw_t):
-            h, c = carry
-            gates = xw_t + jnp.dot(
-                h.astype(dt), w_hh_t, preferred_element_type=jnp.float32
-            )
-            i = jax.nn.sigmoid(gates[..., :H])
-            f = jax.nn.sigmoid(gates[..., H : 2 * H])
-            g = jnp.tanh(gates[..., 2 * H : 3 * H])
-            o = jax.nn.sigmoid(gates[..., 3 * H :])
-            c = f * c + i * g
-            h = o * jnp.tanh(c)
-            return (h, c), h
-
-        B = x.shape[0]
-        init = (
-            jnp.zeros((B, H), jnp.float32),
-            jnp.zeros((B, H), jnp.float32),
+        hs = _lstm_scan(
+            xw, p["w_hh"].astype(dt).T, self.hidden_size, self.unroll, dt
         )
-        _, hs = jax.lax.scan(
-            step, init, jnp.swapaxes(xw, 0, 1), unroll=self.unroll
-        )
-        hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
         if self.reverse:
             hs = jnp.flip(hs, axis=1)
         return hs
@@ -87,27 +123,56 @@ class LstmCellScan(nn.Module):
 
 class LSTMStack(nn.Module):
     """torch ``nn.LSTM(num_layers, bidirectional, batch_first=True)``
-    equivalent. Output dim = hidden_size * (2 if bidirectional else 1)."""
+    equivalent. Output dim = hidden_size * (2 if bidirectional else 1).
+
+    ``use_pallas`` routes the bidirectional recurrence through the Pallas
+    TPU kernel (ops/pallas/lstm_kernel.py) — forward-only fast path for
+    inference/serving; training keeps the differentiable scan."""
 
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
     unroll: int = 8
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dt = self.compute_dtype
+        H = self.hidden_size
         for layer in range(self.num_layers):
-            fwd = LstmCellScan(
-                self.hidden_size, reverse=False, unroll=self.unroll,
-                compute_dtype=self.compute_dtype, name=f"l{layer}_fwd",
-            )(x)
-            if self.bidirectional:
-                bwd = LstmCellScan(
-                    self.hidden_size, reverse=True, unroll=self.unroll,
-                    compute_dtype=self.compute_dtype, name=f"l{layer}_bwd",
+            if not self.bidirectional:
+                x = LstmCellScan(
+                    H, reverse=False, unroll=self.unroll, compute_dtype=dt,
+                    name=f"l{layer}_fwd",
                 )(x)
-                x = jnp.concatenate([fwd, bwd], axis=-1)
+                continue
+
+            # fused bidirectional layer: one scan/kernel for both directions
+            pf = LstmDirParams(H, x.shape[-1], name=f"l{layer}_fwd")()
+            pb = LstmDirParams(H, x.shape[-1], name=f"l{layer}_bwd")()
+            xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, D)
+            w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]], axis=0)
+            bias = jnp.stack(
+                [pf["b_ih"] + pf["b_hh"], pb["b_ih"] + pb["b_hh"]], axis=0
+            )[:, None, None, :]
+            xw = (
+                jnp.einsum("dbtn,dhn->dbth", xs.astype(dt), w_ih.astype(dt),
+                           preferred_element_type=jnp.float32)
+                + bias
+            )
+            w_hh_t = jnp.stack(
+                [pf["w_hh"].T, pb["w_hh"].T], axis=0
+            ).astype(dt)  # (2, H, 4H)
+            if self.use_pallas:
+                from ..ops.pallas.lstm_kernel import lstm_bidir_pallas
+
+                hs = lstm_bidir_pallas(
+                    xw, w_hh_t.astype(jnp.float32),
+                    interpret=self.pallas_interpret,
+                )
             else:
-                x = fwd
+                hs = _lstm_scan(xw, w_hh_t, H, self.unroll, dt)  # (2, B, T, H)
+            x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
         return x

@@ -1,0 +1,91 @@
+"""Pallas TPU kernel for the fused bidirectional LSTM recurrence.
+
+The scan-based layer (models/lstm.py) pays XLA while-loop overhead per
+timestep and cannot keep the recurrent weights pinned on-chip explicitly.
+This kernel runs the whole recurrence as one ``pallas_call``:
+
+- grid over time chunks; Pallas's block pipeline double-buffers the
+  precomputed input projections (2, B, CT, 4H) HBM->VMEM while the MXU
+  chews on the previous chunk;
+- W_hh^T (2, H, 4H) and the h/c state live in VMEM for the entire
+  sequence (scratch persists across sequential grid steps on TPU);
+- both directions are one batched matmul per step, identical math to the
+  scan path (gate order i, f, g, o) — parity-tested against it.
+
+Forward-only: training differentiates the scan implementation; this kernel
+serves the inference/serving path (enhance.py, bench.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, chunk, hidden):
+    """One grid step: process `chunk` timesteps for both directions."""
+    H = hidden
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    for i in range(chunk):
+        xw_t = xw_ref[:, :, i, :]  # (2, B, 4H)
+        g0 = jnp.dot(h_scr[0], whh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h_scr[1], whh_ref[1], preferred_element_type=jnp.float32)
+        gates = xw_t + jnp.stack([g0, g1], axis=0)
+        i_g = jax.nn.sigmoid(gates[..., :H])
+        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f_g * c_scr[...] + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_scr[...] = c
+        h_scr[...] = h
+        hs_ref[:, :, i, :] = h
+
+
+def lstm_bidir_pallas(
+    xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases), f32
+    w_hh_t: jnp.ndarray,  # (2, H, 4H)
+    chunk: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns hidden states (2, B, T, H)."""
+    d2, B, T, h4 = xw.shape
+    H = h4 // 4
+    assert d2 == 2 and w_hh_t.shape == (2, H, h4)
+
+    pad = (-T) % chunk
+    if pad:
+        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    Tp = T + pad
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, chunk=chunk, hidden=H),
+        grid=(Tp // chunk,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, B, chunk, h4), lambda t: (0, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, B, chunk, H), lambda t: (0, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, B, Tp, H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw.astype(jnp.float32), w_hh_t.astype(jnp.float32))
+    return out[:, :, :T, :]

@@ -392,9 +392,11 @@ class Runner:
         )
         t_start = time.time()
 
+        from ..data.loader import device_prefetch
+
         done = False
         while not done:
-            for batch in trainloader:
+            for batch in device_prefetch(trainloader):
                 if self.global_step > total_steps:
                     done = True
                     break
