@@ -140,12 +140,11 @@ def _remove_silent(x_frames, y_frames, frame_valid):
 
 def _ola_reframe(frames_w, kept):
     """Overlap-add windowed frames back to a signal, then re-frame — the
-    reconstruction step of silent-frame removal."""
+    reconstruction step of silent-frame removal (scatter-free OLA)."""
+    from ..ops.stft import _overlap_add
+
     B, M, _ = frames_w.shape
-    out_len = (M - 1) * HOP + N_FRAME
-    pos = (jnp.arange(M)[:, None] * HOP + jnp.arange(N_FRAME)[None, :]).reshape(-1)
-    sig = jnp.zeros((B, out_len), frames_w.dtype)
-    sig = sig.at[:, pos].add(frames_w.reshape(B, -1))
+    sig = _overlap_add(frames_w, HOP)
     n_frames = max(M, 1)
     framed = _frame(sig, n_frames)
     n_kept = kept.sum(axis=-1)  # (B,)

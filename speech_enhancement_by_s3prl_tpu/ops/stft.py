@@ -210,17 +210,48 @@ def istft(
         * window
     )  # (B, n_frames, n_fft)
 
-    out_padded = n_fft + (n_frames - 1) * hop
-    pos = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
-    wav = jnp.zeros((frames.shape[0], out_padded), dtype=frames.dtype)
-    wav = wav.at[:, pos].add(frames.reshape(frames.shape[0], -1))
-
-    env = jnp.zeros((out_padded,), dtype=frames.dtype)
-    env = env.at[pos].add(jnp.tile(window * window, (n_frames,)))
+    wav = _overlap_add(frames, hop)  # (B, n_fft + (n_frames-1)*hop)
 
     start = n_fft // 2
     length = (n_frames - 1) * hop
     wav = wav[:, start : start + length]
-    env = env[start : start + length]
+    env = _ola_envelope(n_fft, params.win_length, hop, n_frames)[
+        start : start + length
+    ]
     wav = wav / jnp.where(env > 1e-11, env, 1.0)
     return wav.reshape(lead + (length,))
+
+
+def _overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
+    """Scatter-free overlap-add.
+
+    TPU scatters serialize badly; instead each n_fft-sample frame is split
+    into K = ceil(n_fft/hop) hop-sized slots — slot j of frame t lands
+    exactly at hop-slot (t + j) of the output — so OLA reduces to K shifted
+    dense adds, fully vectorized on the VPU.
+    """
+    b, n_frames, n_fft = frames.shape
+    k = -(-n_fft // hop)
+    pad = k * hop - n_fft
+    if pad:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, pad)))
+    slots = frames.reshape(b, n_frames, k, hop)
+
+    out_slots = n_frames + k - 1
+    wav = jnp.zeros((b, out_slots, hop), dtype=frames.dtype)
+    for j in range(k):
+        wav = wav.at[:, j : j + n_frames].add(slots[:, :, j])
+    return wav.reshape(b, out_slots * hop)[:, : n_fft + (n_frames - 1) * hop]
+
+
+@functools.lru_cache(maxsize=32)
+def _ola_envelope_np(n_fft: int, win_length: int, hop: int, n_frames: int):
+    w2 = _padded_window(win_length, n_fft).astype(np.float64) ** 2
+    out = np.zeros(n_fft + (n_frames - 1) * hop)
+    for t in range(n_frames):
+        out[t * hop : t * hop + n_fft] += w2
+    return out.astype(np.float32)
+
+
+def _ola_envelope(n_fft, win_length, hop, n_frames):
+    return jnp.asarray(_ola_envelope_np(n_fft, win_length, hop, n_frames))
