@@ -182,6 +182,7 @@ class TransformerEncoder(nn.Module):
     config: TransformerConfig
     compute_dtype: Any = jnp.float32
     max_positions: int = 5001
+    remat: bool = False  # rematerialize layers (memory <-> FLOPs trade)
 
     @nn.compact
     def __call__(self, spec, deterministic=True, output_all_layers=False):
@@ -205,15 +206,20 @@ class TransformerEncoder(nn.Module):
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="input_ln")(hidden)
         hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
 
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(3,))
+            if self.remat
+            else TransformerLayer
+        )
         all_layers = []
         if c.share_layer:
-            layer = TransformerLayer(c, self.compute_dtype, name="layer_shared")
+            layer = layer_cls(c, self.compute_dtype, name="layer_shared")
             for _ in range(c.num_hidden_layers):
                 hidden = layer(hidden, None, deterministic)
                 all_layers.append(hidden)
         else:
             for i in range(c.num_hidden_layers):
-                hidden = TransformerLayer(c, self.compute_dtype, name=f"layer_{i}")(
+                hidden = layer_cls(c, self.compute_dtype, name=f"layer_{i}")(
                     hidden, None, deterministic
                 )
                 all_layers.append(hidden)

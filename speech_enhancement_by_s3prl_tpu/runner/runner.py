@@ -138,9 +138,11 @@ class Runner:
             channel_inp=self.preprocessor.channel_inp,
             channel_tar=self.preprocessor.channel_tar,
             grad_clip=self.grad_clip,
-            eval_metrics=tuple(
-                m for m in self.metric_names if m in DEVICE_BATCH_METRICS
-            ),
+            # --no_metric skips metric computation entirely
+            # (/root/reference/runner.py:583, flag at run_downstream.py:66)
+            eval_metrics=()
+            if getattr(self.args, "no_metric", False)
+            else tuple(m for m in self.metric_names if m in DEVICE_BATCH_METRICS),
             sample_rate=self.preprocessor.config.sample_rate,
         )
         example = jnp.zeros((2, 3, self.buckets[0]), jnp.float32)
@@ -498,6 +500,32 @@ class Runner:
                         if wavs.shape[1] > ch:
                             self.logging(step=self.global_step, tag=tag,
                                          data=wavs[:, ch, :], mode="audio")
+                    # --pseudo_clean/--pseudo_noise media logging
+                    # (/root/reference/runner.py:439-445: the flags feed the
+                    # kwargs-soup and the media log; no built-in loss
+                    # consumes them)
+                    if getattr(self.args, "pseudo_clean", False) or getattr(
+                        self.args, "pseudo_noise", False
+                    ):
+                        wj = jnp.asarray(wavs)
+                        lj = jnp.asarray(lengths)
+                        phase_inp = self.preprocessor(wj)[3]
+                        if getattr(self.args, "pseudo_clean", False):
+                            pc = self._pseudo_wav(
+                                self.upstream_model, wj, phase_inp, lj,
+                                wavs.shape[-1],
+                            )
+                            self.logging(step=self.global_step,
+                                         tag="pseudo_clean", data=pc,
+                                         mode="audio")
+                        if getattr(self.args, "pseudo_noise", False):
+                            pn = self._pseudo_wav(
+                                self.upstream_model2, wj, phase_inp, lj,
+                                wavs.shape[-1],
+                            )
+                            self.logging(step=self.global_step,
+                                         tag="pseudo_noise", data=pn,
+                                         mode="audio")
 
                 if (
                     self.args.active_sampling
@@ -540,8 +568,13 @@ class Runner:
         sample_indices = set(range(0, n_batches, sample_interval))
         noisy_wavs, clean_wavs, enhanced_wavs = [], [], []
 
-        device_names = [m for m in self.metric_names if m in DEVICE_BATCH_METRICS]
-        host_names = [m for m in self.metric_names if m not in DEVICE_BATCH_METRICS]
+        no_metric = getattr(self.args, "no_metric", False)
+        host_names = (
+            []
+            if no_metric
+            else [m for m in self.metric_names if m not in DEVICE_BATCH_METRICS]
+        )
+        score_default = 0.0 if no_metric else np.nan
 
         loss_sum = 0.0
         scores_sum = np.zeros(len(self.metric_names))
@@ -567,7 +600,7 @@ class Runner:
                     ]
                     batch_scores_np[name] = float(np.mean(vals))
             scores_sum += np.array(
-                [batch_scores_np.get(m, np.nan) for m in self.metric_names]
+                [batch_scores_np.get(m, score_default) for m in self.metric_names]
             )
 
             if indice in sample_indices and len(enhanced_wavs) < LOG_WAV_NUM:

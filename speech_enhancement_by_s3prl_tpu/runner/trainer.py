@@ -127,7 +127,7 @@ class StepBuilder:
 
     def _forward(self, params, ctx, train: bool, rngs=None, up_params=None):
         down_inp = self._down_inp(ctx, up_params)
-        kwargs = {}
+        kwargs = {"deterministic": not train}  # dropout-bearing heads
         if rngs is not None:
             kwargs["rngs"] = rngs
         predicted, aux = self.model.apply(
