@@ -97,6 +97,8 @@ def get_downstream_args():
     parser.add_argument("--test_gradient", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="trace one train step to expdir/profile")
+    parser.add_argument("--mesh", default=None,
+                        help="DxM device mesh for dp x tp training, e.g. 4x2")
 
     args = parser.parse_args()
 

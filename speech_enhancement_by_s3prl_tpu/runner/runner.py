@@ -148,7 +148,29 @@ class Runner:
         example = jnp.zeros((2, 3, self.buckets[0]), jnp.float32)
         lengths = jnp.asarray([self.buckets[0], self.buckets[0] // 2])
         self.state = self.builder.init_state(self.rng, example, lengths)
-        self.train_step = self.builder.train_step_fn()
+
+        # --mesh DxM: dp x tp training over a device mesh (additive
+        # capability; the reference is single-device — SURVEY.md
+        # parallelism inventory). Eval stays single-device.
+        mesh_req = getattr(self.args, "mesh", None)
+        if mesh_req:
+            from ..parallel.mesh import make_mesh, make_parallel_train_step
+
+            data, model_par = (int(x) for x in str(mesh_req).lower().split("x"))
+            assert data * model_par <= len(jax.devices()), (
+                f"mesh {mesh_req} needs {data * model_par} devices, "
+                f"have {len(jax.devices())}"
+            )
+            assert self.config["dataloader"]["batch_size"] % data == 0, (
+                "batch_size must divide the data axis"
+            )
+            self.mesh = make_mesh(data * model_par, model_parallel=model_par)
+            self.train_step, self.state = make_parallel_train_step(
+                self.builder, self.mesh, self.state
+            )
+        else:
+            self.mesh = None
+            self.train_step = self.builder.train_step_fn()
         self.eval_step = self.builder.eval_step_fn()
 
         if getattr(self.args, "dckpt", ""):
