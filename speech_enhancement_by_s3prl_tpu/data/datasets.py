@@ -180,7 +180,6 @@ class OnlineDataset:
 
         # id_mapping decides how many datapoints exist (dataset.py:103-104)
         self.id_mapping = list(range(len(self.filepths)))
-        self._rng = random.Random(seed if infinite else None)
 
     # -- loading --------------------------------------------------------
     def load_data(self, path: str) -> np.ndarray:
@@ -200,23 +199,27 @@ class OnlineDataset:
     def __getitem__(self, idx):
         idx = self.id_mapping[idx]
         case = None
+        # per-item randomness deliberately uses the GLOBAL python RNG: the
+        # reference's determinism contract reseeds `random` at eval time to
+        # make pseudo/infinite draws reproducible (/root/reference/
+        # runner.py:522-527, dataset.py:130,141,157)
         if self.pseudo_modes is not None:
-            case = self._rng.choice(self.pseudo_modes)
+            case = random.choice(self.pseudo_modes)
 
         # speech channel
         if case in (2, 3) and self.pseudo_clean is not None:
-            speech = np.asarray(self._rng.choice(self.pseudo_clean), dtype=np.float32)
+            speech = np.asarray(random.choice(self.pseudo_clean), dtype=np.float32)
         else:
             speech = self.load_data(self.filepths[idx])
         speech = self._normalize(speech)
 
         # noise channel
         noise_pth = (
-            self._rng.choice(self.all_noises) if self.infinite
+            random.choice(self.all_noises) if self.infinite
             else self.fixed_noises[idx]
         )
         if case in (0, 3) and self.pseudo_noise is not None:
-            noise = np.asarray(self._rng.choice(self.pseudo_noise), dtype=np.float32)
+            noise = np.asarray(random.choice(self.pseudo_noise), dtype=np.float32)
         else:
             noise = self.load_data(noise_pth)
 
@@ -225,7 +228,7 @@ class OnlineDataset:
             noise = noise[:middle] if self.half_noise == "front" else noise[middle:]
         noise = self._normalize(noise)
 
-        snr = self._rng.choice(self.all_snrs) if self.infinite else self.fixed_snrs[idx]
+        snr = random.choice(self.all_snrs) if self.infinite else self.fixed_snrs[idx]
         noisy, scaled_noise = add_noise_np(speech, noise, snr, self.eps)
 
         wavs = np.stack([noisy, speech, scaled_noise], axis=-1)  # (time, 3)
@@ -244,7 +247,6 @@ class OnlineDataset:
         (/root/reference/dataset.py:181-187)."""
         subset = copy.copy(self)
         subset.infinite = False
-        subset._rng = random.Random(None)
         mapping = list(subset.id_mapping)
         random.Random(0).shuffle(mapping)
         subset.id_mapping = mapping[:n_file]
