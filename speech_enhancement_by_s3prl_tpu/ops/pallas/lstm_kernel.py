@@ -26,10 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, chunk, hidden):
-    """One grid step: process `chunk` timesteps for both directions."""
+    """One grid step: `chunk` timesteps of one batch block, both directions.
+    Grid is (batch_blocks, time_chunks) — time iterates minor (consecutive
+    for a given batch block), so the recurrent scratch carries across time
+    chunks and resets at each batch block's first chunk."""
     H = hidden
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[...] = jnp.zeros_like(h_scr)
         c_scr[...] = jnp.zeros_like(c_scr)
@@ -53,39 +56,47 @@ def _kernel(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, chunk, hidden):
 def lstm_bidir_pallas(
     xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases), f32
     w_hh_t: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 16,
+    chunk: int = 8,
+    batch_block: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns hidden states (2, B, T, H)."""
+    """Returns hidden states (2, B, T, H).
+
+    VMEM budget per grid step: xw block 2*BB*chunk*4H + out block
+    2*BB*chunk*H + weights 2*H*4H + state 2*2*BB*H floats, double-buffered
+    by the pipeline — defaults stay well under the 16 MB scoped limit for
+    H <= 512."""
     d2, B, T, h4 = xw.shape
     H = h4 // 4
     assert d2 == 2 and w_hh_t.shape == (2, H, h4)
 
-    pad = (-T) % chunk
-    if pad:
-        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    Tp = T + pad
+    bb = min(batch_block, B)
+    pad_b = (-B) % bb
+    pad_t = (-T) % chunk
+    if pad_b or pad_t:
+        xw = jnp.pad(xw, ((0, 0), (0, pad_b), (0, pad_t), (0, 0)))
+    Bp, Tp = B + pad_b, T + pad_t
 
     out = pl.pallas_call(
         functools.partial(_kernel, chunk=chunk, hidden=H),
-        grid=(Tp // chunk,),
+        grid=(Bp // bb, Tp // chunk),
         in_specs=[
             pl.BlockSpec(
-                (2, B, chunk, h4), lambda t: (0, 0, t, 0),
+                (2, bb, chunk, h4), lambda b, t: (0, b, t, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+            pl.BlockSpec((2, H, h4), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (2, B, chunk, H), lambda t: (0, 0, t, 0),
+            (2, bb, chunk, H), lambda b, t: (0, b, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((2, B, Tp, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((2, Bp, Tp, H), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, B, H), jnp.float32),
-            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, bb, H), jnp.float32),
+            pltpu.VMEM((2, bb, H), jnp.float32),
         ],
         interpret=interpret,
     )(xw.astype(jnp.float32), w_hh_t.astype(jnp.float32))
-    return out[:, :, :T, :]
+    return out[:, :B, :T, :]
