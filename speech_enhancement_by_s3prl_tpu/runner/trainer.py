@@ -116,8 +116,13 @@ class StepBuilder:
 
     def _down_inp(self, ctx, up_params=None):
         if self.from_waveform:
-            # upstream consumes raw waveform channels (B, T, C)
-            return jnp.swapaxes(ctx["wavs"], 1, 2)
+            # the reference hands raw waveforms to a transformer that runs
+            # its own internal feature extraction
+            # (/root/reference/runner.py:447-449); here the feature engine
+            # is already fused into the step, so the model receives the
+            # same upstream-input features that internal extraction would
+            # have produced
+            return ctx["feats_for_upstream"]
         if self.from_rawfeature:
             return ctx["feats_for_downstream"]
         assert self.upstream is not None, "--from_* unset requires an upstream"
