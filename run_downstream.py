@@ -264,11 +264,14 @@ def main():
         args.upstream2, upstream_dim, args.ckpt2, args.dropout2, tar_linear_dim
     )
 
-    downstream_inpdim = (
-        downstream_dim
-        if (args.from_rawfeature or args.from_waveform)
-        else upstream_model.out_dim
-    )
+    if args.from_waveform:
+        # internal-extraction semantics: the model sees the upstream-input
+        # features (see runner/trainer.py _down_inp)
+        downstream_inpdim = upstream_dim
+    elif args.from_rawfeature:
+        downstream_inpdim = downstream_dim
+    else:
+        downstream_inpdim = upstream_model.out_dim
     downstream_model = get_downstream_model(
         args, downstream_inpdim, tar_linear_dim, config
     )
