@@ -32,6 +32,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
+    # the Pallas recurrence kernel is the fastest measured inference path
+    # on TPU (docs/PERF.md); bench-only default — entry()'s driver
+    # compile-check keeps the portable scan path
+    os.environ.setdefault("SE_PALLAS_LSTM", "1")
+
     import __graft_entry__ as graft
 
     enhance, (params, _, _) = graft.entry()
