@@ -32,11 +32,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    # the Pallas recurrence kernel is the fastest measured inference path
-    # on TPU (docs/PERF.md); bench-only default — entry()'s driver
-    # compile-check keeps the portable scan path
-    os.environ.setdefault("SE_PALLAS_LSTM", "1")
-
+    # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel — the fastest
+    # measured path (15.9k x RT, docs/PERF.md) — but mosaic custom-calls
+    # bypass the persistent compile cache, costing ~12 min of recompile per
+    # process through the remote-compile tunnel. Default stays the fully
+    # cached scan path so the bench always completes quickly.
     import __graft_entry__ as graft
 
     enhance, (params, _, _) = graft.entry()
