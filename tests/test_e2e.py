@@ -169,3 +169,15 @@ def test_sisdr_objective_end_to_end(corpus, tmp_path):
     runner, *_ = make_runner(corpus, tmp_path, objective="SISDR")
     runner.train()
     assert runner.global_step == 5
+
+
+def test_save_best_per_split(corpus, tmp_path):
+    """--save_best writes per-split checkpoints on metric improvement
+    (/root/reference/runner.py:335-338 semantics)."""
+    runner, config, args = make_runner(corpus, tmp_path, save_best=True)
+    runner.rconfig["eval_splits"] = ["dev"]
+    runner.rconfig["eval_step"] = 2
+    runner.train()
+    best_dir = os.path.join(str(tmp_path), "dev")
+    assert os.path.isdir(best_dir)
+    assert any(f.startswith("states-") for f in os.listdir(best_dir))
