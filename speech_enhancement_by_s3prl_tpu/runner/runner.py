@@ -12,13 +12,12 @@ bucketed shapes make memory compile-time constant; SURVEY.md section 2.10).
 from __future__ import annotations
 
 import copy
-import math
 import os
 import random
 import time
 from collections import defaultdict
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,16 +28,14 @@ from ..active.sampler import (
     AsyncSampler,
     make_scoring_fn,
     matching,
-    thresholding,
 )
 from ..data.datasets import DATASET_REGISTRY
 from ..data.loader import DataLoader, default_buckets
 from ..metrics import DEVICE_BATCH_METRICS, METRIC_REGISTRY, build_metrics
 from ..objectives import build_objective
-from ..ops.audio import MAX_POSITIONS_LEN
 from . import checkpoint as ckpt_lib
 from .optim import build_optimizer
-from .trainer import StepBuilder, TrainState, make_context
+from .trainer import StepBuilder, TrainState
 
 LOG_WAV_NUM = 3
 
