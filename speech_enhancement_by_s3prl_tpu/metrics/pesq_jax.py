@@ -167,13 +167,17 @@ def pesq_batch(
     P_ref = P_ref * g2
     P_deg = P_deg * g2
 
-    # level alignment: mean band power (350-3250 Hz) over active frames -> 1e7
+    # level alignment: mean band power (350-3250 Hz) over ACTIVE frames
+    # (frames within 20 dB of the loudest, the P.862 speech-active notion)
+    # scaled to 1e7
     bm = jnp.asarray(C["band_mask"])
 
     def align(P):
-        band_p = (P * bm).sum(-1)
-        mean_p = (band_p * fmask).sum(-1) / jnp.maximum(
-            (fmask * bm.sum()).sum(-1), 1.0
+        band_p = (P * bm).sum(-1)  # (B, M)
+        peak = band_p.max(axis=-1, keepdims=True)
+        active = ((band_p > 0.01 * peak) & (fmask > 0)).astype(P.dtype)
+        mean_p = (band_p * active).sum(-1) / jnp.maximum(
+            active.sum(-1) * bm.sum(), 1.0
         )
         return P * (1e7 / jnp.maximum(mean_p, 1e-6))[:, None, None]
 
@@ -188,7 +192,6 @@ def pesq_batch(
                        preferred_element_type=jnp.float32)
 
     p0 = jnp.asarray(C["p0"])
-    silent = (B_ref.sum(-1) < 1e5)[..., None]
 
     # partial frequency compensation (applied to the reference, as in PESQ)
     num = ((B_deg * fmask[..., None]).sum(1)) + 1e3
