@@ -52,6 +52,35 @@ def main():
     )(jax.random.PRNGKey(0))
     lengths = jnp.full((batch,), T, jnp.int32)
 
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    if os.environ.get("BENCH_MODE", "enhance") == "train":
+        # full train-step throughput (forward+backward+BertAdam update).
+        # Batches are generated on device — CLI training through the axon
+        # dev tunnel is bottlenecked by the relay's host->device transfer
+        # path, which real TPU VMs don't have.
+        builder = graft._build()
+        rng = jax.random.PRNGKey(0)
+        state = builder.init_state(rng, wavs[:2], lengths[:2])
+        step = builder.train_step_fn()
+        state, stats = step(state, wavs, lengths, rng)  # compile + warmup
+        float(stats["loss"])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            state, stats = step(state, wavs, lengths, rng)
+            float(stats["loss"])  # scalar fetch = sync point
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * iters
+        audio_seconds = batch * utt_sec * iters
+        print(json.dumps({
+            "metric": "train_audio_rtf_per_chip",
+            "value": round(audio_seconds / dt, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+        }))
+        return
+
     # scalar-reduced output: the sum depends on every enhanced sample, so
     # the whole pipeline executes, while the per-iteration device->host
     # fetch (which is the only reliable sync point through the axon tunnel
@@ -62,7 +91,6 @@ def main():
     fn = jax.jit(enhance_sum)
     float(fn(params, wavs, lengths))  # compile + warmup
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
