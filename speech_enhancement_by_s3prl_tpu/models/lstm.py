@@ -24,11 +24,16 @@ W_ih, orthogonal for W_hh, zeros for biases.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# scan unroll factor (amortizes while-loop trip overhead); env-tunable for
+# benchmarking without touching model signatures
+DEFAULT_UNROLL = int(os.environ.get("SE_LSTM_UNROLL", "8"))
 
 
 class LstmDirParams(nn.Module):
@@ -91,7 +96,7 @@ class LstmCellScan(nn.Module):
 
     hidden_size: int
     reverse: bool = False
-    unroll: int = 8
+    unroll: int = DEFAULT_UNROLL
     compute_dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,7 +137,7 @@ class LSTMStack(nn.Module):
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
-    unroll: int = 8
+    unroll: int = DEFAULT_UNROLL
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
