@@ -181,3 +181,19 @@ def test_save_best_per_split(corpus, tmp_path):
     best_dir = os.path.join(str(tmp_path), "dev")
     assert os.path.isdir(best_dir)
     assert any(f.startswith("states-") for f in os.listdir(best_dir))
+
+
+def test_reference_metric_trio_eval(corpus, tmp_path):
+    """vcb.yaml's default eval_metrics ['stoi','pesq_nb','sisdr'] all
+    compute on device through the Runner."""
+    runner, *_ = make_runner(corpus, tmp_path)
+    runner.metric_names = ["stoi", "pesq_nb", "sisdr"]
+    from speech_enhancement_by_s3prl_tpu.metrics import build_metrics
+
+    runner.metrics = build_metrics(runner.metric_names)
+    runner.rconfig["eval_metrics"] = runner.metric_names
+    runner.set_model()
+    loss, scores, *_ = runner.evaluate()
+    assert len(scores) == 3
+    assert np.isfinite(scores).all(), scores
+    assert 1.0 <= scores[1] <= 5.0  # pesq MOS range
