@@ -62,6 +62,12 @@ def main():
     paras = payload["Settings"]["Paras"]
     config = payload["Settings"]["Config"]
     params = jax.tree.map(jnp.asarray, payload["Downstream"])
+    if not (paras.get("from_rawfeature") or paras.get("from_waveform")):
+        raise SystemExit(
+            "this checkpoint was trained on upstream hidden states; serve it "
+            "through run_downstream.py --test (upstream wiring) — the "
+            "lightweight enhance CLI supports raw-feature heads"
+        )
 
     downstream = paras.get("downstream", "LSTM")
     model_cfg = config.get("model", {}).get(downstream, {}) or {}

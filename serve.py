@@ -48,6 +48,11 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
     paras = payload["Settings"]["Paras"]
     config = payload["Settings"]["Config"]
     params = jax.tree.map(jnp.asarray, payload["Downstream"])
+    if not (paras.get("from_rawfeature") or paras.get("from_waveform")):
+        raise SystemExit(
+            "checkpoint expects upstream hidden states; the serving endpoint "
+            "supports raw-feature heads — evaluate via run_downstream.py --test"
+        )
 
     downstream = paras.get("downstream", "LSTM")
     model_cfg = config.get("model", {}).get(downstream, {}) or {}
