@@ -168,3 +168,95 @@ def test_load_audio_dispatches_flac(lib_available, tmp_path):
     wav, sr = load_audio(str(p), sr=16000)
     assert sr == 16000 and wav.shape == (4096,)
     np.testing.assert_allclose(wav, 1000 / 32768.0, atol=1e-6)
+
+
+def encode_lpc1_rice(samples, coeff, shift, rice_param=6):
+    """LPC order 1: x[i] = residual + ((coeff * x[i-1]) >> shift)."""
+    bw = BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + 0, 6)       # lpc, order 1 (type 100000 | (order-1))
+    bw.write(0, 1)
+    bw.write(int(samples[0]) & 0xFFFF, 16)   # warmup
+    bw.write(15 - 1, 4)       # precision code: precision 15
+    bw.write(shift, 5)        # shift (signed 5-bit, positive here)
+    bw.write(coeff & 0x7FFF, 15)             # coefficient
+    bw.write(0, 2)            # rice method 0
+    bw.write(0, 4)            # partition order 0
+    bw.write(rice_param, 4)
+    for i in range(1, len(samples)):
+        pred = (coeff * int(samples[i - 1])) >> shift
+        res = int(samples[i]) - pred
+        zz = (res << 1) if res >= 0 else ((-res) << 1) - 1
+        q, r = zz >> rice_param, zz & ((1 << rice_param) - 1)
+        bw.write_unary(q)
+        bw.write(r, rice_param)
+    return bw
+
+
+def test_lpc_subframe(lib_available, tmp_path):
+    rng = np.random.default_rng(5)
+    samples = np.cumsum(rng.integers(-15, 16, size=4096)).astype(np.int64)
+    coeff, shift = 31, 5  # predictor ~0.97 * x[i-1]
+    data = build_flac(encode_lpc1_rice(samples, coeff, shift), samples)
+    wav, sr = decode(data, tmp_path, "lpc.flac")
+    np.testing.assert_allclose(wav[0], samples / 32768.0, atol=1e-7)
+
+
+def _stereo_streaminfo(total):
+    return streaminfo(16000, 2, 16, total)
+
+
+def _stereo_frame_header(ch_code, frame_idx=0):
+    bw = BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0b1100, 4)    # 4096 block
+    bw.write(0b0101, 4)    # 16 kHz
+    bw.write(ch_code, 4)   # 8=left/side 9=right/side 10=mid/side
+    bw.write(0b100, 3)     # 16 bps
+    bw.write(0, 1)
+    out = bw.bytes() + bytes([frame_idx]) + b"\x00"
+    return out
+
+
+def encode_verbatim_bits(samples, bits):
+    bw = BitWriter()
+    bw.write(0, 1)
+    bw.write(1, 6)
+    bw.write(0, 1)
+    mask = (1 << bits) - 1
+    for s in samples:
+        bw.write(int(s) & mask, bits)
+    return bw
+
+
+@pytest.mark.parametrize("mode", ["left_side", "right_side", "mid_side"])
+def test_stereo_decorrelation(lib_available, tmp_path, mode):
+    rng = np.random.default_rng(7)
+    left = rng.integers(-20000, 20000, size=4096).astype(np.int64)
+    right = rng.integers(-20000, 20000, size=4096).astype(np.int64)
+    side = left - right
+    if mode == "left_side":
+        ch_code, sub0, sub1 = 8, (left, 16), (side, 17)
+    elif mode == "right_side":
+        ch_code, sub0, sub1 = 9, (side, 17), (right, 16)
+    else:
+        mid = (left + right) >> 1
+        ch_code, sub0, sub1 = 10, (mid, 16), (side, 17)
+
+    body = encode_verbatim_bits(*sub0).bytes() if False else None
+    bw = BitWriter()
+    for samples, bits in (sub0, sub1):
+        sub = encode_verbatim_bits(samples, bits)
+        bw.bits.extend(sub.bits)
+    data = (
+        _stereo_streaminfo(4096)
+        + _stereo_frame_header(ch_code)
+        + bw.bytes()
+        + b"\x00\x00"
+    )
+    wav, sr = decode(data, tmp_path, f"{mode}.flac")
+    assert wav.shape == (2, 4096)
+    np.testing.assert_allclose(wav[0], left / 32768.0, atol=1e-7)
+    np.testing.assert_allclose(wav[1], right / 32768.0, atol=1e-7)
