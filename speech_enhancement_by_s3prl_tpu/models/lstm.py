@@ -141,6 +141,10 @@ class LSTMStack(nn.Module):
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # rematerialize each layer under autodiff: drops the (2, B, T, 4H)
+    # projection activations from the residual set (recomputed in the
+    # backward pass), roughly halving training memory per layer
+    remat: bool = os.environ.get("SE_LSTM_REMAT", "0") == "1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -157,27 +161,34 @@ class LSTMStack(nn.Module):
             # fused bidirectional layer: one scan/kernel for both directions
             pf = LstmDirParams(H, x.shape[-1], name=f"l{layer}_fwd")()
             pb = LstmDirParams(H, x.shape[-1], name=f"l{layer}_bwd")()
-            xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, D)
-            w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]], axis=0)
-            bias = jnp.stack(
-                [pf["b_ih"] + pf["b_hh"], pb["b_ih"] + pb["b_hh"]], axis=0
-            )[:, None, None, :]
-            xw = (
-                jnp.einsum("dbtn,dhn->dbth", xs.astype(dt), w_ih.astype(dt),
-                           preferred_element_type=jnp.float32)
-                + bias
-            )
-            w_hh_t = jnp.stack(
-                [pf["w_hh"].T, pb["w_hh"].T], axis=0
-            ).astype(dt)  # (2, H, 4H)
-            if self.use_pallas:
-                from ..ops.pallas.lstm_kernel import lstm_bidir_pallas
 
-                hs = lstm_bidir_pallas(
-                    xw, w_hh_t.astype(jnp.float32),
-                    interpret=self.pallas_interpret,
+            def bidir_layer(x_in, pf=pf, pb=pb):
+                xs = jnp.stack([x_in, jnp.flip(x_in, axis=1)], axis=0)
+                w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]], axis=0)
+                bias = jnp.stack(
+                    [pf["b_ih"] + pf["b_hh"], pb["b_ih"] + pb["b_hh"]], axis=0
+                )[:, None, None, :]
+                xw = (
+                    jnp.einsum("dbtn,dhn->dbth", xs.astype(dt),
+                               w_ih.astype(dt),
+                               preferred_element_type=jnp.float32)
+                    + bias
                 )
-            else:
-                hs = _lstm_scan(xw, w_hh_t, H, self.unroll, dt)  # (2, B, T, H)
-            x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
+                w_hh_t = jnp.stack(
+                    [pf["w_hh"].T, pb["w_hh"].T], axis=0
+                ).astype(dt)  # (2, H, 4H)
+                if self.use_pallas:
+                    from ..ops.pallas.lstm_kernel import lstm_bidir_pallas
+
+                    hs = lstm_bidir_pallas(
+                        xw, w_hh_t.astype(jnp.float32),
+                        interpret=self.pallas_interpret,
+                    )
+                else:
+                    hs = _lstm_scan(xw, w_hh_t, H, self.unroll, dt)
+                return jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
+
+            if self.remat:
+                bidir_layer = jax.checkpoint(bidir_layer)
+            x = bidir_layer(x)
         return x
