@@ -286,7 +286,8 @@ class Runner:
         return self.builder.decode_wav(linear, phase, lengths, max_len, target_level)
 
     def _pseudo_wav(self, upstream, wavs, phase_inp, lengths, max_len):
-        feats = jnp.swapaxes(wavs, 1, 2) if self.builder.from_waveform else None
+        """upstream forward + SpecHead + decode with noisy phase
+        (/root/reference/runner.py:273-284)."""
         ctx_feats = self.preprocessor(wavs)
         hidden = upstream(ctx_feats[0])
         linear_predicted = upstream.spec_head(hidden)
