@@ -28,6 +28,37 @@ from .transformer import (
 )
 
 
+def apply_spec_aug(
+    feat: jnp.ndarray,
+    rng,
+    time_masks: int = 2,
+    time_width: int = 30,
+    freq_masks: int = 2,
+    freq_width: int = 12,
+) -> jnp.ndarray:
+    """SpecAugment-style time/frequency masking on (B, T, D) features —
+    the upstream 'spec_aug' option (SURVEY.md section 2.9 item 2). Static
+    mask counts/widths; positions drawn from `rng` per utterance."""
+    B, T, D = feat.shape
+    keys = jax.random.split(rng, 4)
+
+    def band_mask(starts, width, size, axis_len):
+        pos = jnp.arange(axis_len)[None, None, :]
+        s = starts[..., None]
+        return ((pos >= s) & (pos < s + width)).any(axis=1)  # (B, axis_len)
+
+    t_starts = jax.random.randint(
+        keys[0], (B, time_masks), 0, jnp.maximum(T - time_width, 1)
+    )
+    f_starts = jax.random.randint(
+        keys[1], (B, freq_masks), 0, jnp.maximum(D - freq_width, 1)
+    )
+    t_mask = band_mask(t_starts, time_width, time_masks, T)  # (B, T)
+    f_mask = band_mask(f_starts, freq_width, freq_masks, D)  # (B, D)
+    keep = (~t_mask[:, :, None]) & (~f_mask[:, None, :])
+    return feat * keep.astype(feat.dtype)
+
+
 class DummyUpstream:
     """Identity upstream (/root/reference/run_downstream.py:187-188)."""
 
@@ -112,6 +143,10 @@ class UpstreamTransformer:
     def __call__(self, features, params=None, train=False, rngs=None):
         p = self.params if params is None else params
         opts = self.options
+        if opts.spec_aug and train and rngs is not None:
+            # spec_aug_prev semantics: mask the input features before the
+            # encoder (run_downstream.py:174-175 options)
+            features = apply_spec_aug(features, rngs.get("dropout"))
         use_all = opts.weighted_sum or opts.select_layer != -1
         out = self.encoder.apply(
             {"params": p["encoder"]},

@@ -116,3 +116,37 @@ def test_mockingjay_downstream_trains():
     assert np.isfinite(float(stats["loss"]))
     p1 = np.asarray(jax.tree.leaves(s1.params)[0])
     assert not np.allclose(p0, p1)
+
+
+def test_spec_aug_masks_bands():
+    import numpy as np
+
+    from speech_enhancement_by_s3prl_tpu.models.upstream import apply_spec_aug
+
+    rng = jax.random.PRNGKey(0)
+    feat = jnp.ones((2, 100, 40), jnp.float32)
+    out = np.asarray(apply_spec_aug(feat, rng, time_masks=1, time_width=10,
+                                    freq_masks=1, freq_width=4))
+    # some bands zeroed, most content kept
+    zero_frac = (out == 0).mean()
+    assert 0.05 < zero_frac < 0.5
+    # whole time rows and freq columns are zeroed
+    assert (out.sum(axis=2) == 0).any()
+    assert (out.sum(axis=1) == 0).any()
+
+
+def test_spec_aug_wired_into_upstream():
+    from speech_enhancement_by_s3prl_tpu.models.upstream import (
+        UpstreamOptions,
+        UpstreamTransformer,
+    )
+
+    up = UpstreamTransformer(
+        TF, input_dim=80, options=UpstreamOptions(spec_aug=True),
+        output_size=201,
+    )
+    feats = jnp.ones((1, 50, 80), jnp.float32)
+    h_train = up(feats, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    h_eval = up(feats, train=False)
+    assert h_train.shape == h_eval.shape
+    assert not np.allclose(np.asarray(h_train), np.asarray(h_eval))
