@@ -171,6 +171,20 @@ class OnlinePreprocessor:
     def magphase(self, complx: jnp.ndarray):
         return magphase(complx, self.config.n_freq, power=2.0)
 
+    # reference-alias surface (/root/reference/sampler.py:226-229 accesses
+    # preprocessor._stft / ._magphase / ._window directly)
+    def _stft(self, wavs, window=None):
+        return self.stft_complex(wavs)
+
+    def _magphase(self, complx):
+        return self.magphase(complx)
+
+    @property
+    def _window(self):
+        from .stft import hann_window
+
+        return hann_window(self.config.stft.win_length)
+
     # -- feature extraction ---------------------------------------------
     def extract(self, wavs: jnp.ndarray, feat_list: Sequence[Dict[str, Any]]):
         """Pure function: wavs (B, C, T) -> list of (B, n_frames, dim)."""
