@@ -34,6 +34,10 @@ from flax import linen as nn
 # scan unroll factor (amortizes while-loop trip overhead); env-tunable for
 # benchmarking without touching model signatures
 DEFAULT_UNROLL = int(os.environ.get("SE_LSTM_UNROLL", "8"))
+# store the precomputed input projections in bfloat16: halves the dominant
+# HBM stream through the recurrence at a small numerics cost (gate inputs
+# only; the h-recurrence and cell state stay f32)
+XW_BF16 = os.environ.get("SE_LSTM_XW_BF16", "0") == "1"
 
 
 class LstmDirParams(nn.Module):
@@ -69,7 +73,7 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
 
     def step(carry, xw_t):
         h, c = carry
-        gates = xw_t + jnp.einsum(
+        gates = xw_t.astype(jnp.float32) + jnp.einsum(
             "...bh,...hg->...bg", h.astype(dt), w_hh_t,
             preferred_element_type=jnp.float32,
         )
@@ -85,6 +89,8 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
         jnp.zeros(lead + (B, H), jnp.float32),
         jnp.zeros(lead + (B, H), jnp.float32),
     )
+    if XW_BF16:
+        xw = xw.astype(jnp.bfloat16)
     # scan over the time axis (axis -2)
     xw_t_major = jnp.moveaxis(xw, -2, 0)
     _, hs = jax.lax.scan(step, init, xw_t_major, unroll=unroll)
