@@ -32,11 +32,14 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel — the fastest
-    # measured path (15.9k x RT, docs/PERF.md) — but mosaic custom-calls
-    # bypass the persistent compile cache, costing ~12 min of recompile per
-    # process through the remote-compile tunnel. Default stays the fully
-    # cached scan path so the bench always completes quickly.
+    # bf16 STORAGE of the LSTM input projections halves the dominant HBM
+    # stream (+25% RTF at B=512; output fidelity vs f32 measured at
+    # >100 dB SI-SDR — docs/PERF.md). Inference-bench default; the
+    # framework's training default stays f32.
+    os.environ.setdefault("SE_LSTM_XW_BF16", "1")
+    # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel, but mosaic
+    # custom-calls bypass the persistent compile cache (~12 min recompile
+    # per process through the remote-compile tunnel) — opt-in only.
     import __graft_entry__ as graft
 
     enhance, (params, _, _) = graft.entry()
