@@ -47,7 +47,7 @@ def main():
     sr = 16000
     utt_sec = 10
     T = sr * utt_sec
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "768"))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
     # slow and must not pollute the compute measurement
     wavs = jax.jit(
