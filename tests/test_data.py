@@ -222,3 +222,34 @@ def test_pseudo_dataset_smoke():
 def test_bucket_length():
     assert bucket_length(100, [64, 128, 256]) == 128
     assert bucket_length(1000, [64, 128, 256]) == 256
+
+
+def test_device_prefetch_preserves_order_and_content():
+    from speech_enhancement_by_s3prl_tpu.data.loader import device_prefetch
+
+    batches = [(np.asarray([i]), np.full((2, 3, 10), i, np.float32))
+               for i in range(5)]
+    out = list(device_prefetch(iter(batches), size=2))
+    assert len(out) == 5
+    for i, (lengths, wavs) in enumerate(out):
+        assert int(np.asarray(lengths)[0]) == i
+        assert float(np.asarray(wavs)[0, 0, 0]) == i
+
+
+def test_infinite_iterator_wraps(corpus):
+    from speech_enhancement_by_s3prl_tpu.data.datasets import OnlineDataset
+    from speech_enhancement_by_s3prl_tpu.data.loader import (
+        DataLoader,
+        infinite_iterator,
+    )
+
+    ds = OnlineDataset(
+        speech={"filestrs": str(corpus / "speech")},
+        noise={"filestrs": str(corpus / "noise")},
+        max_time=500,
+    )
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=1)
+    it = infinite_iterator(loader)
+    n_batches = len(loader)
+    seen = [next(it) for _ in range(n_batches * 2 + 1)]  # wraps twice
+    assert len(seen) == n_batches * 2 + 1
