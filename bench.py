@@ -45,7 +45,7 @@ def main():
     enhance, (params, _, _) = graft.entry()
 
     sr = 16000
-    utt_sec = 10
+    utt_sec = int(os.environ.get("BENCH_UTT_SEC", "10"))
     T = sr * utt_sec
     batch = int(os.environ.get("BENCH_BATCH", "768"))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
