@@ -180,6 +180,23 @@ class LSTMStack(nn.Module):
             pf = LstmDirParams(H, x.shape[-1], name=f"l{layer}_fwd")()
             pb = LstmDirParams(H, x.shape[-1], name=f"l{layer}_bwd")()
 
+            if self.use_pallas and os.environ.get("SE_PALLAS_FUSED", "0") == "1":
+                from ..ops.pallas.lstm_kernel import lstm_bidir_pallas_fused
+
+                xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)
+                hs = lstm_bidir_pallas_fused(
+                    xs,
+                    jnp.stack([pf["w_ih"].T, pb["w_ih"].T], axis=0),
+                    jnp.stack(
+                        [pf["b_ih"] + pf["b_hh"], pb["b_ih"] + pb["b_hh"]],
+                        axis=0,
+                    ),
+                    jnp.stack([pf["w_hh"].T, pb["w_hh"].T], axis=0),
+                    interpret=self.pallas_interpret,
+                )
+                x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
+                continue
+
             def bidir_layer(x_in, pf=pf, pb=pb):
                 xs = jnp.stack([x_in, jnp.flip(x_in, axis=1)], axis=0)
                 w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]], axis=0)

@@ -53,6 +53,95 @@ def _kernel(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, chunk, hidden):
         hs_ref[:, :, i, :] = h
 
 
+def _fused_kernel(xs_ref, wih_ref, bias_ref, whh_ref, hs_ref, h_scr, c_scr,
+                  *, chunk, hidden):
+    """Fused variant: computes the input projection on the fly inside the
+    kernel, so the (2, B, T, 4H) xw tensor never exists in HBM — the
+    kernel streams the raw (2, B, T, D) features instead (4H/D times less
+    traffic). One grid step = `chunk` timesteps of one batch block."""
+    H = hidden
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    # project the whole chunk at once: (2, BB*chunk, D) @ (2, D, 4H)
+    x0 = xs_ref[0].reshape(-1, xs_ref.shape[-1])
+    x1 = xs_ref[1].reshape(-1, xs_ref.shape[-1])
+    xw0 = jnp.dot(x0, wih_ref[0], preferred_element_type=jnp.float32)
+    xw1 = jnp.dot(x1, wih_ref[1], preferred_element_type=jnp.float32)
+    bb = xs_ref.shape[1]
+    bias = bias_ref[...]
+    xw = jnp.stack(
+        [xw0.reshape(bb, chunk, 4 * H), xw1.reshape(bb, chunk, 4 * H)], axis=0
+    ) + bias[:, None, None, :]
+
+    for i in range(chunk):
+        g0 = jnp.dot(h_scr[0], whh_ref[0], preferred_element_type=jnp.float32)
+        g1 = jnp.dot(h_scr[1], whh_ref[1], preferred_element_type=jnp.float32)
+        gates = xw[:, :, i, :] + jnp.stack([g0, g1], axis=0)
+        i_g = jax.nn.sigmoid(gates[..., :H])
+        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f_g * c_scr[...] + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_scr[...] = c
+        h_scr[...] = h
+        hs_ref[:, :, i, :] = h
+
+
+def lstm_bidir_pallas_fused(
+    xs: jnp.ndarray,      # (2, B, T, D) direction-stacked inputs, f32
+    w_ih_t: jnp.ndarray,  # (2, D, 4H)
+    bias: jnp.ndarray,    # (2, 4H) combined b_ih + b_hh
+    w_hh_t: jnp.ndarray,  # (2, H, 4H)
+    chunk: int = 8,
+    batch_block: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fully fused projection+recurrence; returns (2, B, T, H)."""
+    d2, B, T, D = xs.shape
+    h4 = w_hh_t.shape[-1]
+    H = h4 // 4
+    bb = min(batch_block, B)
+    pad_b = (-B) % bb
+    pad_t = (-T) % chunk
+    if pad_b or pad_t:
+        xs = jnp.pad(xs, ((0, 0), (0, pad_b), (0, pad_t), (0, 0)))
+    Bp, Tp = B + pad_b, T + pad_t
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, chunk=chunk, hidden=H),
+        grid=(Bp // bb, Tp // chunk),
+        in_specs=[
+            pl.BlockSpec((2, bb, chunk, D), lambda b, t: (0, b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D, h4), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, h4), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, h4), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, bb, chunk, H), lambda b, t: (0, b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, Bp, Tp, H), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bb, H), jnp.float32),
+            pltpu.VMEM((2, bb, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        xs.astype(jnp.float32),
+        w_ih_t.astype(jnp.float32),
+        bias.astype(jnp.float32),
+        w_hh_t.astype(jnp.float32),
+    )
+    return out[:, :B, :T, :]
+
+
 def lstm_bidir_pallas(
     xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases), f32
     w_hh_t: jnp.ndarray,  # (2, H, 4H)
