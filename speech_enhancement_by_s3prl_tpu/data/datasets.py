@@ -291,7 +291,6 @@ class NoisyCleanDataset:
         self.clean_channel = clean_channel
         self.regex_searcher = re.compile(regex)
         self.max_sec = max_sec
-        self._rng = random.Random()
 
     def _find_noisy(self, clean_pth: str) -> str:
         result = self.regex_searcher.search(clean_pth)
@@ -317,7 +316,10 @@ class NoisyCleanDataset:
 
         max_length = round(self.max_sec * sr1)
         if clean.shape[-1] > max_length:
-            start = self._rng.randint(0, clean.shape[-1] - max_length - 1)
+            # global-RNG crop (as the reference's random.randint,
+            # /root/reference/dataset.py:239-243): Runner.evaluate() reseeds
+            # the global random module, so eval crops are reproducible
+            start = random.randint(0, clean.shape[-1] - max_length - 1)
             clean = clean[start : start + max_length]
             noisy = noisy[start : start + max_length]
 

@@ -221,8 +221,9 @@ def stoi_coeff_batch(
         x_frames, valid = _ola_reframe(xk, kept)
         y_frames, _ = _ola_reframe(yk, kept)
     else:
-        w = _stoi_window()
-        x_frames, y_frames = xf * w, yf * w
+        # raw frames: _band_envelopes' DFT matrices already fold the hann
+        # window in (windowing here would apply it twice)
+        x_frames, y_frames = xf, yf
         valid = frame_valid
 
     X = _band_envelopes(x_frames)  # (B, M, J)

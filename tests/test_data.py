@@ -178,6 +178,17 @@ def test_noisy_clean_dataset_pairs(tmp_path):
     assert item.ndim == 2 and item.shape[1] == 2
     assert item.shape[0] <= 8000  # max_sec crop
 
+    # crop uses the GLOBAL random module (as the reference's random.randint,
+    # /root/reference/dataset.py:239-243) so a reseed — what Runner.evaluate
+    # does — makes eval crops reproducible
+    import random as _random
+
+    _random.seed(0)
+    a = ds[0]
+    _random.seed(0)
+    b = ds[0]
+    np.testing.assert_array_equal(a, b)
+
 
 def test_pad_collate_layout():
     samples = [np.ones((100, 3), np.float32), np.ones((150, 3), np.float32) * 2]
