@@ -146,6 +146,10 @@ class WSD:
     term penalizes mask response on the noise excess. Emits a
     spectrogram-figure logger closure like the reference."""
 
+    # the Runner re-runs the objective eagerly at media_step to dispatch
+    # the figure logger (inside jit the closure would capture tracers)
+    has_logger = True
+
     def __init__(self, alpha: float = 0.5, db_interval: float = 30, eps: float = 1e-10,
                  **kwargs):
         self.alpha = alpha

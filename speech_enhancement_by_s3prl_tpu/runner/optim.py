@@ -73,13 +73,17 @@ def bert_adam(
     warmup_proportion: float,
     total_steps: int,
     weight_decay: float = 0.01,
-    max_grad_norm: float = 1.0,
+    max_grad_norm: float = None,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-6,
 ) -> optax.GradientTransformation:
-    """Full BertAdam: per-call grad clip, uncorrected Adam, selective decay,
-    warmup-linear-decay schedule."""
+    """Full BertAdam: uncorrected Adam, selective decay, warmup-linear-decay
+    schedule. ``max_grad_norm`` defaults to None because the train step
+    already global-norm-clips at the configured ``gradient_clipping``
+    (trainer.py) — clipping again here would shrink updates whenever the
+    already-clipped norm exceeded 1 (and S3PRL's own inner per-parameter
+    clip at 1.0 is a no-op after a global clip to <= 1.0)."""
 
     def decay_mask(params):
         return jax.tree_util.tree_map_with_path(

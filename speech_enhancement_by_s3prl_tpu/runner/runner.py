@@ -203,6 +203,25 @@ class Runner:
             jax.tree.map(jnp.asarray, params), self.state.opt_state, self.state.step
         )
 
+    def _dispatch_objective_logger(self, wavs, lengths):
+        """Re-evaluate the objective OUTSIDE jit on the current batch so its
+        logger closure captures concrete arrays, then dispatch it
+        (/root/reference/runner.py:481-483)."""
+        from .trainer import make_context
+
+        ctx = make_context(
+            self.preprocessor, jnp.asarray(wavs), jnp.asarray(lengths),
+            self.preprocessor.channel_inp, self.preprocessor.channel_tar,
+        )
+        predicted, aux = self.builder._forward(
+            self.state.params, ctx, train=False,
+            up_params=self.builder.upstream_params(),
+        )
+        _, obj_aux = self.objective(**{**ctx, "predicted": predicted, **aux})
+        logger = obj_aux.get("logger")
+        if callable(logger):
+            logger(self.log, self.global_step)
+
     def _warm_start_downstream(self, dckpt: str):
         """--dckpt warm start (/root/reference/run_downstream.py:212-217):
         accepts either our native checkpoints or torch S3PRL ones."""
@@ -544,6 +563,12 @@ class Runner:
                 if "media_step" in self.rconfig and self.global_step % int(
                     self.rconfig["media_step"]
                 ) == 0:
+                    # objective-owned figure logger (WSD): the reference
+                    # dispatches objective_results['logger'] at media_step
+                    # (/root/reference/runner.py:481-483); here the step is
+                    # jitted, so re-run the objective eagerly on this batch
+                    if getattr(self.objective, "has_logger", False):
+                        self._dispatch_objective_logger(wavs, lengths)
                     for ch, tag in [(0, "noisy"), (1, "clean"), (2, "noise")]:
                         if wavs.shape[1] > ch:
                             self.logging(step=self.global_step, tag=tag,

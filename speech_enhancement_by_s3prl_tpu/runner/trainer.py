@@ -114,7 +114,7 @@ class StepBuilder:
         it into every compiled executable as constants."""
         return getattr(self.upstream, "params", None) if self.upstream else None
 
-    def _down_inp(self, ctx, up_params=None):
+    def _down_inp(self, ctx, up_params=None, train=False, rngs=None):
         if self.from_waveform:
             # the reference hands raw waveforms to a transformer that runs
             # its own internal feature extraction
@@ -126,12 +126,19 @@ class StepBuilder:
         if self.from_rawfeature:
             return ctx["feats_for_downstream"]
         assert self.upstream is not None, "--from_* unset requires an upstream"
+        # --dropout puts the upstream in train mode during training
+        # (/root/reference/runner.py:100-107): dropout/spec_aug are live in
+        # the compiled train step only when the override made it trainable
+        up_train = bool(train and getattr(self.upstream, "trainable", False))
+        kwargs = {"train": up_train, "rngs": rngs if up_train else None}
         if up_params is not None and len(jax.tree.leaves(up_params)):
-            return self.upstream(ctx["feats_for_upstream"], params=up_params)
-        return self.upstream(ctx["feats_for_upstream"])
+            return self.upstream(
+                ctx["feats_for_upstream"], params=up_params, **kwargs
+            )
+        return self.upstream(ctx["feats_for_upstream"], **kwargs)
 
     def _forward(self, params, ctx, train: bool, rngs=None, up_params=None):
-        down_inp = self._down_inp(ctx, up_params)
+        down_inp = self._down_inp(ctx, up_params, train=train, rngs=rngs)
         kwargs = {"deterministic": not train}  # dropout-bearing heads
         if rngs is not None:
             kwargs["rngs"] = rngs

@@ -1,0 +1,137 @@
+"""WSD figure-logger dispatch at media_step and upstream --dropout
+train-mode semantics in the compiled step (round-1 VERDICT items 4/5)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_enhancement_by_s3prl_tpu.models.heads import build_head
+from speech_enhancement_by_s3prl_tpu.models.transformer import TransformerConfig
+from speech_enhancement_by_s3prl_tpu.models.upstream import (
+    DummyUpstream,
+    UpstreamOptions,
+    UpstreamTransformer,
+)
+from speech_enhancement_by_s3prl_tpu.objectives import build_objective
+from speech_enhancement_by_s3prl_tpu.ops.features import (
+    OnlinePreprocessor,
+    get_feat_config,
+)
+from speech_enhancement_by_s3prl_tpu.runner.optim import build_optimizer
+from speech_enhancement_by_s3prl_tpu.runner.runner import Runner
+from speech_enhancement_by_s3prl_tpu.runner.trainer import StepBuilder
+from tests.test_e2e import corpus, make_args, make_config  # noqa: F401
+
+
+def test_wsd_logger_dispatched_at_media_step(corpus, tmp_path):
+    """Train a couple of steps with --objective WSD and a Residual head
+    (WSD consumes the mask `offset`); add_figure must receive the
+    WSD_variables figure at media_step (/root/reference/runner.py:481-483)."""
+    config = make_config(corpus)
+    config["runner"]["media_step"] = 2
+    config["runner"]["total_step"] = 2
+    config["objective"]["WSD"] = {"db_interval": 50, "alpha": 0.3}
+    config["model"]["Residual"] = {
+        "hidden_size": 8, "num_layers": 1, "bidirectional": False,
+        "activation": "Sigmoid", "cmvn": False,
+    }
+    args = make_args(str(tmp_path), downstream="Residual", objective="WSD")
+
+    feat_list = [get_feat_config("linear", 0) for _ in range(3)] + [
+        get_feat_config("phase", 0),
+        get_feat_config("linear", 1),
+        get_feat_config("phase", 1),
+    ]
+    pre = OnlinePreprocessor(feat_list=feat_list)
+    pre.channel_inp, pre.channel_tar = 0, 1
+    model = build_head("Residual", input_size=201, output_size=201,
+                       **config["model"]["Residual"])
+    up = DummyUpstream(201)
+    runner = Runner(args=args, config=config, preprocessor=pre, upstream=up,
+                    upstream2=up, downstream=model, expdir=str(tmp_path))
+    runner.set_model()
+
+    figures = []
+    orig = runner.log.add_figure
+    runner.log.add_figure = lambda tag, fig, step=None, **kw: figures.append(
+        (tag, step)
+    )
+    try:
+        runner.train()
+    finally:
+        runner.log.add_figure = orig
+    tags = [t for t, _ in figures]
+    assert "WSD_variables" in tags, f"logger not dispatched; figures={tags}"
+
+
+def _dropout_builder(dropout):
+    cfg = TransformerConfig(
+        input_dim=201, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=24,
+    )
+    up = UpstreamTransformer(
+        cfg, input_dim=201, options=UpstreamOptions(dropout=dropout),
+        output_size=201,
+    )
+    feat_list = [get_feat_config("linear", 0) for _ in range(3)] + [
+        get_feat_config("phase", 0),
+        get_feat_config("linear", 1),
+        get_feat_config("phase", 1),
+    ]
+    pre = OnlinePreprocessor(feat_list=feat_list)
+    pre.channel_inp, pre.channel_tar = 0, 1
+    model = build_head("LSTM", input_size=16, output_size=201, hidden_size=8,
+                       num_layers=1, bidirectional=False)
+    return StepBuilder(
+        preprocessor=pre, model=model, objective=build_objective("L1"),
+        optimizer=build_optimizer("Adam", 1e-3, 0.07, 100),
+        upstream=up, from_waveform=False, from_rawfeature=False,
+        eval_metrics=(),
+    )
+
+
+def test_dropout_override_active_in_train_step():
+    """With --dropout the upstream runs in train mode inside the jitted
+    step: different dropout rngs give different losses; without the
+    override the upstream stays deterministic (frozen eval mode),
+    matching /root/reference/runner.py:100-107."""
+    rng = jax.random.PRNGKey(0)
+    wavs = jax.random.normal(rng, (2, 3, 4000), jnp.float32) * 0.1
+    lengths = jnp.asarray([4000, 3000])
+
+    def two_losses(builder):
+        state = builder.init_state(rng, wavs, lengths)
+        from speech_enhancement_by_s3prl_tpu.runner.trainer import make_context
+
+        ctx = make_context(builder.preprocessor, wavs, lengths, 0, 1)
+        up = builder.upstream_params()
+        l1, _ = builder.loss_fn(
+            state.params, ctx, rngs={"dropout": jax.random.PRNGKey(1)},
+            up_params=up,
+        )
+        l2, _ = builder.loss_fn(
+            state.params, ctx, rngs={"dropout": jax.random.PRNGKey(2)},
+            up_params=up,
+        )
+        return float(l1), float(l2)
+
+    l1, l2 = two_losses(_dropout_builder(dropout=0.5))
+    assert l1 != l2, "dropout override must be live in the train step"
+
+    l1, l2 = two_losses(_dropout_builder(dropout=None))
+    assert l1 == l2, "frozen upstream must be deterministic"
+
+
+def test_eval_step_deterministic_with_dropout_override():
+    builder = _dropout_builder(dropout=0.5)
+    rng = jax.random.PRNGKey(0)
+    wavs = jax.random.normal(rng, (2, 3, 4000), jnp.float32) * 0.1
+    lengths = jnp.asarray([4000, 3000])
+    state = builder.init_state(rng, wavs, lengths)
+    step = builder.eval_step_fn()
+    a = step(state.params, wavs, lengths)
+    b = step(state.params, wavs, lengths)
+    np.testing.assert_array_equal(
+        np.asarray(a["wav_predicted"]), np.asarray(b["wav_predicted"])
+    )
