@@ -250,6 +250,17 @@ def main():
                       os.path.expanduser("~/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    if getattr(args, "mesh", None):
+        # multi-host pods: one-call jax.distributed setup (no-op for
+        # single-process runs); the mesh itself is built in Runner.set_model
+        from speech_enhancement_by_s3prl_tpu.parallel.distributed import (
+            initialize_distributed,
+            topology_summary,
+        )
+
+        if initialize_distributed():
+            print(f"[distributed] {topology_summary()}", flush=True)
+
     expdir = os.path.join(args.expdir, args.name or "default")
     os.makedirs(expdir, exist_ok=True)
 

@@ -16,6 +16,7 @@ import glob as globlib
 import os
 import random
 import re
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -23,6 +24,23 @@ import numpy as np
 from .audio_io import load_audio
 
 ACTIVE_BUFFER_NUM = 4  # pseudo-mode cases 0..3 (/root/reference/dataset.py:14)
+
+# Per-item RNG stream. The reference's determinism contract is "reseed the
+# global random module and draws become reproducible" (/root/reference/
+# runner.py:522-527); with a THREADED loader the global module would be
+# consumed in thread-scheduling order, so the loader instead derives one
+# seed per item (in the main thread, FROM the global RNG — reseeding still
+# governs everything) and installs a thread-local stream around each
+# __getitem__. Direct dataset[i] access falls back to the global module.
+_item_rng = threading.local()
+
+
+def set_item_seed(seed: Optional[int]) -> None:
+    _item_rng.rng = None if seed is None else random.Random(seed)
+
+
+def item_random():
+    return getattr(_item_rng, "rng", None) or random
 AUDIO_EXTS = (".wav", ".flac", ".ogg", ".mp3", ".aif", ".aifc", ".aiff")
 
 
@@ -199,27 +217,24 @@ class OnlineDataset:
     def __getitem__(self, idx):
         idx = self.id_mapping[idx]
         case = None
-        # per-item randomness deliberately uses the GLOBAL python RNG: the
-        # reference's determinism contract reseeds `random` at eval time to
-        # make pseudo/infinite draws reproducible (/root/reference/
-        # runner.py:522-527, dataset.py:130,141,157)
+        rng = item_random()
         if self.pseudo_modes is not None:
-            case = random.choice(self.pseudo_modes)
+            case = rng.choice(self.pseudo_modes)
 
         # speech channel
         if case in (2, 3) and self.pseudo_clean is not None:
-            speech = np.asarray(random.choice(self.pseudo_clean), dtype=np.float32)
+            speech = np.asarray(rng.choice(self.pseudo_clean), dtype=np.float32)
         else:
             speech = self.load_data(self.filepths[idx])
         speech = self._normalize(speech)
 
         # noise channel
         noise_pth = (
-            random.choice(self.all_noises) if self.infinite
+            rng.choice(self.all_noises) if self.infinite
             else self.fixed_noises[idx]
         )
         if case in (0, 3) and self.pseudo_noise is not None:
-            noise = np.asarray(random.choice(self.pseudo_noise), dtype=np.float32)
+            noise = np.asarray(rng.choice(self.pseudo_noise), dtype=np.float32)
         else:
             noise = self.load_data(noise_pth)
 
@@ -228,7 +243,7 @@ class OnlineDataset:
             noise = noise[:middle] if self.half_noise == "front" else noise[middle:]
         noise = self._normalize(noise)
 
-        snr = random.choice(self.all_snrs) if self.infinite else self.fixed_snrs[idx]
+        snr = rng.choice(self.all_snrs) if self.infinite else self.fixed_snrs[idx]
         noisy, scaled_noise = add_noise_np(speech, noise, snr, self.eps)
 
         wavs = np.stack([noisy, speech, scaled_noise], axis=-1)  # (time, 3)
@@ -316,10 +331,10 @@ class NoisyCleanDataset:
 
         max_length = round(self.max_sec * sr1)
         if clean.shape[-1] > max_length:
-            # global-RNG crop (as the reference's random.randint,
-            # /root/reference/dataset.py:239-243): Runner.evaluate() reseeds
-            # the global random module, so eval crops are reproducible
-            start = random.randint(0, clean.shape[-1] - max_length - 1)
+            # seeded-stream crop (the reference uses random.randint and
+            # relies on the eval-time global reseed, /root/reference/
+            # dataset.py:239-243; see set_item_seed for the threaded story)
+            start = item_random().randint(0, clean.shape[-1] - max_length - 1)
             clean = clean[start : start + max_length]
             noisy = noisy[start : start + max_length]
 

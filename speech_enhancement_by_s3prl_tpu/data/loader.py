@@ -73,8 +73,13 @@ class DataLoader:
     def _batch_indices(self) -> List[List[int]]:
         idx = list(range(len(self.dataset)))
         if self.shuffle:
-            rng = random.Random(None if self.seed is None else self.seed + self._epoch)
-            rng.shuffle(idx)
+            # no explicit seed -> draw one from the GLOBAL RNG so the
+            # reference's reseed-at-eval contract governs batch order too
+            seed = (
+                random.getrandbits(63) if self.seed is None
+                else self.seed + self._epoch
+            )
+            random.Random(seed).shuffle(idx)
         batches = [
             idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
         ]
@@ -93,9 +98,35 @@ class DataLoader:
     def __iter__(self) -> Iterator:
         batches = self._batch_indices()
         self._epoch += 1
+        # Per-item RNG streams: one base seed per epoch drawn from the
+        # GLOBAL RNG in the main thread (so the reference's reseed-at-eval
+        # contract still governs all draws), then a derived seed per item.
+        # This makes the data stream identical for any worker count and
+        # any thread schedule (torch's process workers don't even manage
+        # that — data changes with num_workers there).
+        from .datasets import set_item_seed
+
+        base = random.getrandbits(63)
+        pos = 0
+        seeds: List[List[int]] = []
+        for b in batches:
+            seeds.append([(base + 0x9E3779B97F4A7C15 * (pos + k)) % 2**63
+                          for k in range(len(b))])
+            pos += len(b)
+
+        def fetch(i, b):
+            items = []
+            for j, s in zip(b, seeds[i]):
+                set_item_seed(s)
+                try:
+                    items.append(self.dataset[j])
+                finally:
+                    set_item_seed(None)
+            return self._collate(items)
+
         if self.num_workers <= 1 or len(batches) <= 1:
-            for b in batches:
-                yield self._collate([self.dataset[i] for i in b])
+            for i, b in enumerate(batches):
+                yield fetch(i, b)
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -113,7 +144,7 @@ class DataLoader:
                 except queue.Empty:
                     return
                 try:
-                    batch = self._collate([self.dataset[j] for j in b])
+                    batch = fetch(i, b)
                     err = None
                 except Exception as e:  # surface in consumer
                     batch, err = None, e

@@ -90,24 +90,45 @@ def replicated(mesh: Mesh, tree) -> Any:
     )
 
 
+def _path_names(path) -> Tuple[str, ...]:
+    return tuple(
+        str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+        for k in path
+    )
+
+
 def shard_train_state(mesh: Mesh, state):
     """Place a TrainState on the mesh: params (and the optimizer moments,
-    which mirror the params) tensor-parallel, step replicated."""
+    which mirror the params) tensor-parallel, step replicated.
+
+    Optimizer-state leaves are matched to params BY PATH: optax state trees
+    (e.g. ScaleByAdamState.mu/nu) embed the full param tree, so a param's
+    path is a suffix of its moment's path. Shape matching alone (round 1)
+    mis-shards on shape collisions."""
     from ..runner.trainer import TrainState
 
     p_sh = param_shardings(mesh, state.params)
+    by_path = {
+        _path_names(path): (np.shape(leaf), sh)
+        for (path, leaf), (_, sh) in zip(
+            jax.tree_util.tree_flatten_with_path(state.params)[0],
+            jax.tree_util.tree_flatten_with_path(p_sh)[0],
+        )
+    }
 
-    def opt_sharding(leaf):
-        # optimizer state leaves mirroring a param shape get its sharding;
-        # scalars replicate. Match by shape against the flat param list.
-        for param, sh in zip(flat_params, flat_shardings):
-            if getattr(leaf, "shape", None) == param.shape:
-                return sh
+    def opt_sharding(path, leaf):
+        names = _path_names(path)
+        shape = np.shape(leaf)
+        for i in range(len(names)):
+            hit = by_path.get(names[i:])
+            if hit is not None:
+                p_shape, sh = hit
+                if p_shape == shape:
+                    return sh
+                break  # path matches but shape doesn't: replicate
         return NamedSharding(mesh, P(*([None] * np.ndim(leaf))))
 
-    flat_params = jax.tree.leaves(state.params)
-    flat_shardings = jax.tree.leaves(p_sh)
-    o_sh = jax.tree.map(opt_sharding, state.opt_state)
+    o_sh = jax.tree_util.tree_map_with_path(opt_sharding, state.opt_state)
 
     params = jax.device_put(state.params, p_sh)
     opt_state = jax.device_put(state.opt_state, o_sh)
@@ -116,17 +137,16 @@ def shard_train_state(mesh: Mesh, state):
 
 
 def make_parallel_train_step(builder, mesh: Mesh, state):
-    """jit the builder's train step with mesh shardings: batch over 'data',
-    params/moments per tensor-parallel rules. GSPMD inserts the psum for
-    gradients and any all-gathers for the model-sharded matmuls."""
+    """jit the builder's RAW train step once with mesh shardings: batch over
+    'data', params/moments per tensor-parallel rules, frozen upstream
+    replicated. GSPMD inserts the psum for gradients and any all-gathers
+    for the model-sharded matmuls."""
     state, (p_sh, o_sh) = shard_train_state(mesh, state)
     step_sh = NamedSharding(mesh, P())
     state_sh = type(state)(p_sh, o_sh, step_sh)
 
-    base = builder.train_step_fn()
-
-    def step(st, wavs, lengths, rng):
-        return base(st, wavs, lengths, rng)
+    up = builder.upstream_params()
+    up_sh = replicated(mesh, up)
 
     wav_sh = NamedSharding(mesh, P("data", None, None))
     len_sh = NamedSharding(mesh, P("data"))
@@ -135,9 +155,13 @@ def make_parallel_train_step(builder, mesh: Mesh, state):
         "loss": step_sh, "grad_norm": step_sh, "skipped": step_sh,
     }
     jitted = jax.jit(
-        step,
-        in_shardings=(state_sh, wav_sh, len_sh, rng_sh),
+        builder.train_step_raw(),
+        in_shardings=(state_sh, wav_sh, len_sh, rng_sh, up_sh),
         out_shardings=(state_sh, out_stats_sh),
         donate_argnums=(0,),
     )
-    return jitted, state
+
+    def step(st, wavs, lengths, rng):
+        return jitted(st, wavs, lengths, rng, up)
+
+    return step, state

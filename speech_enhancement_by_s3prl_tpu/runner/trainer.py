@@ -156,7 +156,10 @@ class StepBuilder:
         return loss, (predicted, aux, obj_aux)
 
     # -- train ----------------------------------------------------------
-    def train_step_fn(self):
+    def train_step_raw(self):
+        """The unjitted step — parallel/mesh.py jits it once with explicit
+        shardings (no nested jit)."""
+
         def step(state: TrainState, wavs, lengths, rng, up_params):
             ctx = make_context(
                 self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
@@ -187,8 +190,11 @@ class StepBuilder:
             new_state = TrainState(new_params, new_opt, state.step + 1)
             return new_state, {"loss": loss, "grad_norm": grad_norm, "skipped": ~ok}
 
+        return step
+
+    def train_step_fn(self):
         donate = (0,) if self.donate else ()
-        jitted = jax.jit(step, donate_argnums=donate)
+        jitted = jax.jit(self.train_step_raw(), donate_argnums=donate)
         up = self.upstream_params()
 
         def wrapped(state, wavs, lengths, rng):

@@ -1,5 +1,13 @@
-"""Runner-level mesh training: --mesh 4x2 over the 8 virtual CPU devices."""
+"""Runner-level mesh training: --mesh over the 8 virtual CPU devices.
+
+Sharding only partitions the same computation, so the dp x tp loss
+trajectory must reproduce single-device numerics (SURVEY.md section 7
+item 9: additive capability gated on single-device parity)."""
 import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
 
 from tests.test_e2e import corpus, make_runner  # noqa: F401
 
@@ -15,3 +23,80 @@ def test_runner_trains_on_mesh(corpus, tmp_path):
 
     loss, scores, *_ = runner.evaluate()
     assert np.isfinite(loss)
+
+
+def test_mesh_loss_matches_single_device(corpus, tmp_path_factory):
+    """The Runner-wired dp x tp step must reproduce the single-device step's
+    losses and parameters on identical batches (the loader itself is
+    thread-order nondeterministic, so feed fixed batches directly)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    batches = [
+        (
+            jnp.asarray(rng.standard_normal((4, 3, 16000)).astype(np.float32) * 0.1),
+            jnp.asarray([16000, 12000, 9000, 16000]),
+        )
+        for _ in range(3)
+    ]
+
+    def run(mesh):
+        tmp = tmp_path_factory.mktemp(f"mesh_{mesh or 'single'}")
+        runner, config, args = make_runner(corpus, tmp)
+        runner.config["dataloader"]["batch_size"] = 4
+        runner.args.mesh = mesh
+        runner.set_model()
+        state = runner.state
+        losses = []
+        for i, (wavs, lengths) in enumerate(batches):
+            state, stats = runner.train_step(
+                state, wavs, lengths, jax.random.PRNGKey(i)
+            )
+            losses.append(float(stats["loss"]))
+        return losses, jax.tree.map(np.asarray, jax.device_get(state.params))
+
+    single_losses, single_params = run(None)
+    mesh_losses, mesh_params = run("4x2")
+    np.testing.assert_allclose(mesh_losses, single_losses, rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(single_params), jax.tree.leaves(mesh_params)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_opt_state_sharding_is_path_matched(corpus, tmp_path):
+    """Moments (mu/nu) carry their param's sharding; schedule counters and
+    other scalars replicate — matched by path suffix, not shape."""
+    from speech_enhancement_by_s3prl_tpu.parallel.mesh import (
+        make_mesh,
+        param_shardings,
+        shard_train_state,
+    )
+
+    runner, config, args = make_runner(corpus, tmp_path)
+    mesh = make_mesh(8, model_parallel=2)
+    state, (p_sh, o_sh) = shard_train_state(mesh, runner.state)
+
+    p_leaves = {
+        tuple(str(getattr(k, "key", k)) for k in path): sh
+        for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]
+    }
+    # find the LSTM input kernel's sharding: must be model-sharded
+    lstm_keys = [k for k in p_leaves if "w_ih" in "/".join(k)]
+    assert lstm_keys, "expected LSTM kernels in the param tree"
+    assert any(
+        p_leaves[k].spec != P(None, None) for k in lstm_keys
+    ), "LSTM gate kernels should be tensor-parallel"
+
+    # every moment leaf matching a param path must carry the same sharding
+    o_flat = jax.tree_util.tree_flatten_with_path(o_sh)[0]
+    matched = 0
+    for path, sh in o_flat:
+        names = tuple(
+            str(getattr(k, "key", getattr(k, "idx", getattr(k, "name", k))))
+            for k in path
+        )
+        for i in range(len(names)):
+            if names[i:] in p_leaves:
+                assert sh == p_leaves[names[i:]], f"mis-sharded moment {names}"
+                matched += 1
+                break
+    assert matched >= 2 * len(p_leaves), "mu and nu should both be matched"
