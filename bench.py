@@ -27,9 +27,13 @@ def main():
     import jax
 
     # persistent compile cache: remote compiles through the axon tunnel are
-    # expensive (tens of seconds each); cache them across runs
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # expensive (tens of seconds each); cache them across runs (TPU only —
+    # CPU AOT cache entries can abort on machine-feature mismatch)
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache("/root/.jax_cache")
     import jax.numpy as jnp
 
     # bf16 STORAGE of the LSTM input projections halves the dominant HBM
@@ -91,7 +95,33 @@ def main():
     def enhance_sum(params, wavs, lengths):
         return enhance(params, wavs, lengths).sum()
 
-    fn = jax.jit(enhance_sum)
+    # AOT executable cache: Mosaic custom-calls (SE_PALLAS_LSTM=1) bypass
+    # the persistent compile cache (~12 min recompile per process through
+    # the tunnel); serialize the compiled executable instead so later
+    # processes skip compilation entirely. TPU-only (CPU AOT is unsafe).
+    fn = None
+    if (
+        os.environ.get("SE_EXEC_CACHE", "1") == "1"
+        and jax.default_backend() != "cpu"
+    ):
+        from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+            compile_cached,
+        )
+
+        env_key = ",".join(
+            f"{k}={os.environ.get(k, '')}"
+            for k in (
+                "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
+                "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
+                "SE_LSTM_UNROLL",
+            )
+        )
+        fn = compile_cached(
+            enhance_sum, params, wavs, lengths,
+            fn_key=f"bench_enhance|{env_key}", verbose=True,
+        )
+    if fn is None:
+        fn = jax.jit(enhance_sum)
     float(fn(params, wavs, lengths))  # compile + warmup
 
     times = []

@@ -37,8 +37,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from speech_enhancement_by_s3prl_tpu.data.audio_io import load_audio, write_wav
@@ -106,23 +109,56 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
 
     buckets = default_buckets(args.sample_rate, 30000)
+
+    def enhance_one(wav: np.ndarray) -> np.ndarray:
+        """Single-utterance path, streamed in fixed crossfaded windows when
+        the signal exceeds the largest bucket (constant memory, no
+        recompiles — ops/streaming.py)."""
+        from speech_enhancement_by_s3prl_tpu.ops.streaming import (
+            enhance_streaming,
+        )
+
+        def window_fn(w):
+            out = np.asarray(
+                enhance(params, jnp.asarray(w[None]), jnp.asarray([len(w)]))
+            )
+            return out[0]
+
+        return enhance_streaming(
+            window_fn, wav, sample_rate=args.sample_rate,
+            window_sec=buckets[-1] / args.sample_rate, overlap_sec=1.0,
+        )
+
     t0 = time.time()
     total_audio = 0.0
     for i in range(0, len(files), args.batch_size):
         chunk = files[i : i + args.batch_size]
         wavs = [load_audio(f, sr=args.sample_rate)[0] for f in chunk]
         lengths = np.array([len(w) for w in wavs])
-        T = bucket_length(int(lengths.max()), buckets)
-        batch = np.zeros((len(wavs), T), np.float32)
-        for j, w in enumerate(wavs):
-            batch[j, : len(w)] = w
-        out = np.asarray(
-            enhance(params, jnp.asarray(batch), jnp.asarray(lengths))
-        )
+
+        long_idx = [j for j, w in enumerate(wavs) if len(w) > buckets[-1]]
+        short_idx = [j for j, w in enumerate(wavs) if len(w) <= buckets[-1]]
+        out = [None] * len(wavs)
+        for j in long_idx:
+            out[j] = enhance_one(wavs[j])
+        if short_idx:
+            T = bucket_length(int(max(lengths[j] for j in short_idx)), buckets)
+            batch = np.zeros((len(short_idx), T), np.float32)
+            for k, j in enumerate(short_idx):
+                batch[k, : lengths[j]] = wavs[j]
+            res = np.asarray(
+                enhance(
+                    params, jnp.asarray(batch),
+                    jnp.asarray([lengths[j] for j in short_idx]),
+                )
+            )
+            for k, j in enumerate(short_idx):
+                out[j] = res[k]
+
         for j, f in enumerate(chunk):
             name = os.path.splitext(os.path.basename(f))[0] + ".wav"
             write_wav(os.path.join(args.outdir, name),
-                      out[j, : lengths[j]], args.sample_rate)
+                      out[j][: lengths[j]], args.sample_rate)
         total_audio += lengths.sum() / args.sample_rate
         print(f"[enhance] {min(i + args.batch_size, len(files))}/{len(files)}",
               flush=True)

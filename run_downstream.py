@@ -245,10 +245,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compile cache (remote compiles are expensive)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persistent XLA compile cache (TPU only: remote compiles are expensive;
+    # CPU AOT cache entries can abort on machine-feature mismatch)
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache()
 
     if getattr(args, "mesh", None):
         # multi-host pods: one-call jax.distributed setup (no-op for

@@ -39,9 +39,26 @@ def write_list(path: str, items):
     print(f"wrote {path}: {len(items)} files")
 
 
+def split_master(master_lines, seed: int = 1227, adapt_num: int = 10,
+                 test_num: int = 1200):
+    """The published adapt/test split (/root/reference/split-test.py:1-16):
+    seed-1227 shuffle of the master list IN FILE ORDER, first 10 = adapt,
+    next 1200 = test. Reproduces the reference's frozen libri-adapt.txt /
+    libri-test.txt bit-exactly from its libri-test-clean-10s.txt (verified
+    by tests/test_make_splits.py), so the assets need not be vendored."""
+    lines = list(master_lines)
+    random.Random(seed).shuffle(lines)
+    return lines[:adapt_num], lines[adapt_num : adapt_num + test_num]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("libri_root")
+    ap.add_argument("libri_root", nargs="?")
+    ap.add_argument(
+        "--from-master",
+        help="derive libri-adapt/test from an existing libri-test-clean-10s"
+        " list instead of scanning a LibriSpeech root",
+    )
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--max-sec", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=1227)
@@ -51,18 +68,21 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
-    # test-clean <= 10 s, then seed-1227 split into adapt + test
-    ten_s = duration_filter(args.libri_root, "test-clean", args.max_sec)
-    write_list(os.path.join(args.out_dir, "libri-test-clean-10s.txt"), ten_s)
-    rng = random.Random(args.seed)
-    shuffled = list(ten_s)
-    rng.shuffle(shuffled)
-    write_list(os.path.join(args.out_dir, "libri-adapt.txt"),
-               shuffled[: args.adapt_num])
-    write_list(
-        os.path.join(args.out_dir, "libri-test.txt"),
-        shuffled[args.adapt_num : args.adapt_num + args.test_num],
-    )
+    if args.from_master:
+        with open(args.from_master) as f:
+            ten_s = [line.rstrip("\n") for line in f if line.strip()]
+    else:
+        assert args.libri_root, "need a LibriSpeech root or --from-master"
+        # test-clean <= 10 s filter (the master list the reference froze)
+        ten_s = duration_filter(args.libri_root, "test-clean", args.max_sec)
+        write_list(os.path.join(args.out_dir, "libri-test-clean-10s.txt"), ten_s)
+
+    adapt, test = split_master(ten_s, args.seed, args.adapt_num, args.test_num)
+    write_list(os.path.join(args.out_dir, "libri-adapt.txt"), adapt)
+    write_list(os.path.join(args.out_dir, "libri-test.txt"), test)
+
+    if args.from_master:
+        return
 
     # dev-clean: all + a small fixed subset
     dev = [

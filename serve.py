@@ -25,8 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.jax_cache"))
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from speech_enhancement_by_s3prl_tpu.data.loader import (
@@ -80,7 +83,7 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, target_level, masks)
 
-    def enhance(wav: np.ndarray) -> np.ndarray:
+    def _single(wav: np.ndarray) -> np.ndarray:
         T = bucket_length(len(wav), buckets)
         batch = np.zeros((1, T), np.float32)
         batch[0, : len(wav)] = wav
@@ -88,6 +91,20 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
             _enhance(params, jnp.asarray(batch), jnp.asarray([len(wav)]))
         )
         return out[0, : len(wav)]
+
+    def enhance(wav: np.ndarray) -> np.ndarray:
+        if len(wav) <= buckets[-1]:
+            return _single(wav)
+        # unbounded-length requests: fixed windows + cosine crossfade keep
+        # shapes static (no recompiles) and memory constant
+        from speech_enhancement_by_s3prl_tpu.ops.streaming import (
+            enhance_streaming,
+        )
+
+        return enhance_streaming(
+            _single, wav, sample_rate=sample_rate,
+            window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
+        )
 
     return enhance
 

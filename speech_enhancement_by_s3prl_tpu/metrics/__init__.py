@@ -90,10 +90,27 @@ METRIC_REGISTRY: Dict[str, Callable] = {
     "pesq_wb": pesq_wb_eval,
 }
 
-# metrics computable fully on-device for a whole batch (PESQ is the JAX
-# P.862-model implementation — see metrics/pesq_jax.py for its fidelity
-# statement)
+# metrics computable fully on-device for a whole batch (PESQ on device is
+# the JAX P.862-model implementation — see metrics/pesq_jax.py for its
+# fidelity statement)
 DEVICE_BATCH_METRICS = ("sisdr", "stoi", "estoi", "pesq_nb", "pesq_wb")
+
+
+def device_batch_metrics() -> tuple:
+    """The metric names to score on device for this process.
+
+    pesq_* drop to the HOST per-utterance path when the ITU-conformant
+    ``pesq`` wheel is importable (then scores are certified, matching what
+    the reference logs) or when SE_HOST_PESQ=1 forces it; otherwise they
+    stay on device via the approximate JAX P.862 model (clearly labeled by
+    metrics/pesq.py on first use)."""
+    import os
+
+    from .pesq import itu_pesq_fn
+
+    if os.environ.get("SE_HOST_PESQ") == "1" or itu_pesq_fn() is not None:
+        return ("sisdr", "stoi", "estoi")
+    return DEVICE_BATCH_METRICS
 
 
 def build_metrics(names: Sequence[str]) -> List[Callable]:

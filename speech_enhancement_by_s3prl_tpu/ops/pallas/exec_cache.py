@@ -1,0 +1,101 @@
+"""Persistent AOT executable cache for Pallas/Mosaic programs.
+
+The standard persistent compile cache skips Mosaic custom-call programs,
+so any process using the Pallas LSTM kernel pays the full TPU compile
+(~12 min through the remote-compile tunnel) again (CLAUDE.md, PERF.md).
+This module serializes the COMPILED executable itself
+(jax.experimental.serialize_executable) keyed by (jax version, backend,
+function key, abstract input signature), so later processes deserialize
+and run without compiling at all.
+
+Scope: inference-path programs with static shapes (the bench/enhance
+flagship). Falls back transparently to plain jit when serialization or
+deserialization is unsupported by the runtime (e.g. some remote backends).
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable, Optional
+
+import jax
+
+
+def _cache_dir() -> str:
+    return os.path.expanduser(
+        os.environ.get("SE_EXEC_CACHE_DIR", "~/.jax_exec_cache")
+    )
+
+
+def _signature(args, kwargs) -> str:
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    parts = [str(treedef)]
+    for leaf in leaves:
+        parts.append(f"{jax.numpy.shape(leaf)}:{jax.numpy.result_type(leaf)}")
+    return "|".join(parts)
+
+
+def _key(fn_key: str, args, kwargs) -> str:
+    backend = jax.default_backend()
+    try:
+        platform_version = jax.devices()[0].device_kind
+    except Exception:
+        platform_version = "unknown"
+    raw = "|".join(
+        [jax.__version__, backend, str(platform_version), fn_key,
+         _signature(args, kwargs)]
+    )
+    return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+
+def compile_cached(
+    fn: Callable,
+    *example_args,
+    fn_key: str,
+    donate_argnums=(),
+    verbose: bool = False,
+    **example_kwargs,
+) -> Optional[Callable]:
+    """Return a compiled executable for ``fn`` at the example signature,
+    loading it from the AOT cache when possible and saving it after a cold
+    compile. Returns None when AOT serialization is unavailable — caller
+    should fall back to plain ``jax.jit(fn)``."""
+    try:
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load,
+            serialize,
+        )
+    except ImportError:
+        return None
+
+    path = os.path.join(
+        _cache_dir(), _key(fn_key, example_args, example_kwargs) + ".aot"
+    )
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            compiled = deserialize_and_load(payload, in_tree, out_tree)
+            if verbose:
+                print(f"[exec_cache] loaded {fn_key} from {path}", flush=True)
+            return compiled
+        except Exception as e:  # stale/incompatible entry: recompile
+            if verbose:
+                print(f"[exec_cache] load failed ({e}); recompiling", flush=True)
+
+    jitted = jax.jit(fn, donate_argnums=donate_argnums)
+    compiled = jitted.lower(*example_args, **example_kwargs).compile()
+    try:
+        payload, in_tree, out_tree = serialize(compiled)
+        os.makedirs(_cache_dir(), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, path)
+        if verbose:
+            print(f"[exec_cache] saved {fn_key} to {path}", flush=True)
+    except Exception as e:
+        if verbose:
+            print(f"[exec_cache] serialize failed ({e}); uncached", flush=True)
+    return compiled

@@ -31,7 +31,7 @@ from ..active.sampler import (
 )
 from ..data.datasets import DATASET_REGISTRY
 from ..data.loader import DataLoader, default_buckets
-from ..metrics import DEVICE_BATCH_METRICS, METRIC_REGISTRY, build_metrics
+from ..metrics import METRIC_REGISTRY, build_metrics, device_batch_metrics
 from ..objectives import build_objective
 from . import checkpoint as ckpt_lib
 from .optim import build_optimizer
@@ -139,7 +139,9 @@ class Runner:
             # (/root/reference/runner.py:583, flag at run_downstream.py:66)
             eval_metrics=()
             if getattr(self.args, "no_metric", False)
-            else tuple(m for m in self.metric_names if m in DEVICE_BATCH_METRICS),
+            else tuple(
+                m for m in self.metric_names if m in device_batch_metrics()
+            ),
             sample_rate=self.preprocessor.config.sample_rate,
         )
         example = jnp.zeros((2, 3, self.buckets[0]), jnp.float32)
@@ -411,6 +413,10 @@ class Runner:
         for split_name in self.rconfig["eval_splits"]:
             split_dataset = self.get_dataset(split_name)
             split_loader = self.get_dataloader(split_dataset, train=False)
+            # metrics_best starts at ZERO deliberately (parity with
+            # /root/reference/runner.py:313-323): negative-valued metrics
+            # (e.g. si-sdr on a bad split) don't trigger save_best until
+            # they cross zero — do not "fix" this without breaking parity
             eval_settings.append(
                 (split_name, split_loader, np.zeros(len(self.metrics)))
             )
@@ -645,7 +651,7 @@ class Runner:
         host_names = (
             []
             if no_metric
-            else [m for m in self.metric_names if m not in DEVICE_BATCH_METRICS]
+            else [m for m in self.metric_names if m not in device_batch_metrics()]
         )
         score_default = 0.0 if no_metric else np.nan
 

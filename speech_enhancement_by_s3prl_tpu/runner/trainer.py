@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..metrics import DEVICE_BATCH_METRICS, batch_scores
+from ..metrics import batch_scores
 from ..ops.audio import length_masks, masked_normalize_decibel
 
 

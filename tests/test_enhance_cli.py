@@ -1,0 +1,48 @@
+"""enhance.py CLI end to end: checkpoint -> batch enhancement -> WAVs,
+including the unbounded-length streaming path (inputs longer than the
+largest compiled bucket go through ops/streaming.py crossfaded windows)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from speech_enhancement_by_s3prl_tpu.data.audio_io import load_audio, write_wav
+from tests.test_e2e import corpus, make_runner  # noqa: F401
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_enhance_cli_short_and_long_inputs(corpus, tmp_path, monkeypatch):
+    # a trained checkpoint (tiny head) via the Runner
+    runner, config, args = make_runner(corpus, tmp_path / "exp")
+    runner.save_model()
+    ckpt_dir = str(tmp_path / "exp")
+
+    # inputs: two short files and one longer than the 30 s top bucket
+    indir = tmp_path / "noisy"
+    indir.mkdir()
+    rng = np.random.default_rng(0)
+    lengths = {"a": 16000, "b": 24000, "long": 16000 * 31}
+    for name, n in lengths.items():
+        t = np.arange(n) / 16000.0
+        wav = (0.2 * np.sin(2 * np.pi * 440 * t)
+               + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        write_wav(str(indir / f"{name}.wav"), wav, 16000)
+
+    outdir = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "enhance.py", "--ckpt", ckpt_dir, "--inputs", str(indir),
+        "--outdir", str(outdir), "--cpu",
+    ])
+    sys.path.insert(0, REPO)
+    import enhance
+
+    enhance.main()
+
+    for name, n in lengths.items():
+        out, sr = load_audio(str(outdir / f"{name}.wav"), sr=None)
+        assert sr == 16000
+        assert out.shape[-1] == n, f"{name}: {out.shape[-1]} != {n}"
+        assert np.isfinite(out).all()
+        assert np.abs(out).max() > 0, "silent output"

@@ -1,0 +1,54 @@
+"""Host-side per-utterance metric path through Runner.evaluate.
+
+pesq_* route to the host per-utterance scorers when the ITU wheel exists
+or SE_HOST_PESQ=1 — exercising the METRIC_REGISTRY branch of evaluate
+(/root/reference/runner.py:586-603's joblib equivalent), which round 1
+shipped dead."""
+import numpy as np
+import pytest
+
+from speech_enhancement_by_s3prl_tpu.metrics import device_batch_metrics
+from tests.test_e2e import corpus, make_runner  # noqa: F401
+
+
+def test_device_metric_set_respects_host_flag(monkeypatch):
+    monkeypatch.delenv("SE_HOST_PESQ", raising=False)
+    assert "pesq_nb" in device_batch_metrics()  # no ITU wheel in this image
+    monkeypatch.setenv("SE_HOST_PESQ", "1")
+    assert device_batch_metrics() == ("sisdr", "stoi", "estoi")
+
+
+def test_evaluate_scores_pesq_on_host(corpus, tmp_path, monkeypatch):
+    monkeypatch.setenv("SE_HOST_PESQ", "1")
+    runner, config, args = make_runner(corpus, tmp_path)
+    runner.metric_names = ["sisdr", "pesq_nb"]
+    from speech_enhancement_by_s3prl_tpu.metrics import build_metrics
+
+    runner.metrics = build_metrics(runner.metric_names)
+    runner.set_model()  # re-wire eval_metrics with the host split
+
+    calls = []
+    import speech_enhancement_by_s3prl_tpu.metrics.pesq as pesq_mod
+
+    orig = pesq_mod.pesq_mos_lqo
+
+    def spy(ref, deg, sr=16000, mode="nb"):
+        calls.append(mode)
+        return orig(ref, deg, sr, mode)
+
+    monkeypatch.setitem(
+        __import__(
+            "speech_enhancement_by_s3prl_tpu.metrics", fromlist=["METRIC_REGISTRY"]
+        ).METRIC_REGISTRY,
+        "pesq_nb",
+        lambda src, tar, sr=16000: spy(np.asarray(tar), np.asarray(src), sr, "nb"),
+    )
+
+    pesq_mod._warn_approximate.cache_clear()  # one-time notice per process
+    with pytest.warns(UserWarning, match="approximate"):
+        loss, scores, *_ = runner.evaluate()
+    assert calls and all(m == "nb" for m in calls), "host pesq path not hit"
+    assert np.isfinite(scores).all()
+    # MOS-LQO range
+    pesq_idx = runner.metric_names.index("pesq_nb")
+    assert 0.5 <= scores[pesq_idx] <= 5.0

@@ -102,7 +102,7 @@ def test_mockingjay_downstream_trains():
     class FeatUp:
         out_dim = 80
 
-        def __call__(self, f):
+        def __call__(self, f, params=None, train=False, rngs=None):
             return f
 
     builder.upstream = FeatUp()
