@@ -24,6 +24,13 @@ import numpy as np
 
 
 def main():
+    # bf16 STORAGE of the LSTM input projections halves the dominant HBM
+    # stream (+25% RTF at B=512; output fidelity vs f32 measured at
+    # >100 dB SI-SDR — docs/PERF.md). Inference-bench default; the
+    # framework's training default stays f32. MUST be set before ANY
+    # package import (models/lstm.py reads it at import time).
+    os.environ.setdefault("SE_LSTM_XW_BF16", "1")
+
     import jax
 
     # persistent compile cache: remote compiles through the axon tunnel are
@@ -36,11 +43,6 @@ def main():
     setup_compile_cache("/root/.jax_cache")
     import jax.numpy as jnp
 
-    # bf16 STORAGE of the LSTM input projections halves the dominant HBM
-    # stream (+25% RTF at B=512; output fidelity vs f32 measured at
-    # >100 dB SI-SDR — docs/PERF.md). Inference-bench default; the
-    # framework's training default stays f32.
-    os.environ.setdefault("SE_LSTM_XW_BF16", "1")
     # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel, but mosaic
     # custom-calls bypass the persistent compile cache (~12 min recompile
     # per process through the remote-compile tunnel) — opt-in only.

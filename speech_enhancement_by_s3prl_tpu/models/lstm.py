@@ -34,13 +34,21 @@ from flax import linen as nn
 # scan unroll factor (amortizes while-loop trip overhead); env-tunable for
 # benchmarking without touching model signatures
 DEFAULT_UNROLL = int(os.environ.get("SE_LSTM_UNROLL", "8"))
-# store the precomputed input projections in bfloat16: halves the dominant
-# HBM stream through the recurrence at a small numerics cost (gate inputs
-# only; the h-recurrence and cell state stay f32)
-XW_BF16 = os.environ.get("SE_LSTM_XW_BF16", "0") == "1"
-# ...or int8 with a per-(direction, batch, timestep) scale: quarters the
-# stream; gate inputs see ~0.8% relative quantization error
-XW_INT8 = os.environ.get("SE_LSTM_XW_INT8", "0") == "1"
+
+
+def _xw_mode() -> str:
+    """Storage dtype of the precomputed input projections, read at TRACE
+    time (not import time, so callers may set the env after importing):
+    - bf16 halves the dominant HBM stream through the recurrence at a
+      small numerics cost (gate inputs only; h-recurrence/cell stay f32);
+    - int8 (per-(direction,batch,timestep) scale) quarters it, ~0.8%
+      relative gate-input quantization error — measured slower than bf16
+      on v5e (docs/PERF.md), kept for ablation."""
+    if os.environ.get("SE_LSTM_XW_INT8", "0") == "1":
+        return "int8"
+    if os.environ.get("SE_LSTM_XW_BF16", "0") == "1":
+        return "bf16"
+    return "f32"
 
 
 class LstmDirParams(nn.Module):
@@ -74,9 +82,11 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
     lead = xw.shape[:-2][:-1]  # axes before (B, T)
     B = xw.shape[-3]
 
+    mode = _xw_mode()
+
     def step(carry, scanned):
         h, c = carry
-        if XW_INT8:
+        if mode == "int8":
             xw_t, scale_t = scanned
             xw_f = xw_t.astype(jnp.float32) * scale_t
         else:
@@ -97,11 +107,11 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
         jnp.zeros(lead + (B, H), jnp.float32),
         jnp.zeros(lead + (B, H), jnp.float32),
     )
-    if XW_INT8:
+    if mode == "int8":
         scale = jnp.abs(xw).max(axis=-1, keepdims=True) / 127.0 + 1e-12
         xw_q = jnp.clip(jnp.round(xw / scale), -127, 127).astype(jnp.int8)
         scanned = (jnp.moveaxis(xw_q, -2, 0), jnp.moveaxis(scale, -2, 0))
-    elif XW_BF16:
+    elif mode == "bf16":
         scanned = jnp.moveaxis(xw.astype(jnp.bfloat16), -2, 0)
     else:
         scanned = jnp.moveaxis(xw, -2, 0)
