@@ -225,8 +225,14 @@ class LSTMStack(nn.Module):
                 if self.use_pallas:
                     from ..ops.pallas.lstm_kernel import lstm_bidir_pallas
 
+                    # honor the xw storage mode: bf16 halves the kernel's
+                    # dominant HBM stream exactly like the scan path
+                    xw_k = (
+                        xw.astype(jnp.bfloat16) if _xw_mode() == "bf16"
+                        else xw.astype(jnp.float32)
+                    )
                     hs = lstm_bidir_pallas(
-                        xw, w_hh_t.astype(jnp.float32),
+                        xw_k, w_hh_t.astype(jnp.float32),
                         interpret=self.pallas_interpret,
                     )
                 else:

@@ -38,7 +38,9 @@ def _kernel(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, chunk, hidden):
         c_scr[...] = jnp.zeros_like(c_scr)
 
     for i in range(chunk):
-        xw_t = xw_ref[:, :, i, :]  # (2, B, 4H)
+        # xw may be stored bf16 (halves the dominant HBM stream, same
+        # numerics budget as the bf16 scan path); gates accumulate in f32
+        xw_t = xw_ref[:, :, i, :].astype(jnp.float32)  # (2, B, 4H)
         g0 = jnp.dot(h_scr[0], whh_ref[0], preferred_element_type=jnp.float32)
         g1 = jnp.dot(h_scr[1], whh_ref[1], preferred_element_type=jnp.float32)
         gates = xw_t + jnp.stack([g0, g1], axis=0)
@@ -143,18 +145,27 @@ def lstm_bidir_pallas_fused(
 
 
 def lstm_bidir_pallas(
-    xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases), f32
+    xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases)
     w_hh_t: jnp.ndarray,  # (2, H, 4H)
-    chunk: int = 8,
-    batch_block: int = 32,
+    chunk: int = None,
+    batch_block: int = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns hidden states (2, B, T, H).
+
+    ``xw`` streams HBM->VMEM in ITS OWN dtype — pass bf16 to halve the
+    dominant HBM stream (the kernel accumulates gates in f32 either way).
 
     VMEM budget per grid step: xw block 2*BB*chunk*4H + out block
     2*BB*chunk*H + weights 2*H*4H + state 2*2*BB*H floats, double-buffered
     by the pipeline — defaults stay well under the 16 MB scoped limit for
     H <= 512."""
+    import os
+
+    if chunk is None:
+        chunk = int(os.environ.get("SE_PALLAS_CHUNK", "8"))
+    if batch_block is None:
+        batch_block = int(os.environ.get("SE_PALLAS_BB", "32"))
     d2, B, T, h4 = xw.shape
     H = h4 // 4
     assert d2 == 2 and w_hh_t.shape == (2, H, h4)
@@ -187,5 +198,5 @@ def lstm_bidir_pallas(
             pltpu.VMEM((2, bb, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xw.astype(jnp.float32), w_hh_t.astype(jnp.float32))
+    )(xw, w_hh_t.astype(jnp.float32))
     return out[:, :B, :T, :]
