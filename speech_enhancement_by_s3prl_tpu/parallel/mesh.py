@@ -165,3 +165,44 @@ def make_parallel_train_step(builder, mesh: Mesh, state):
         return jitted(st, wavs, lengths, rng, up)
 
     return step, state
+
+
+def make_parallel_eval_step(builder, mesh: Mesh):
+    """jit the builder's RAW eval step with the batch sharded over EVERY
+    mesh device (eval/serving has no gradient sync — both axes act as
+    data parallelism); params/upstream replicated, per-utterance outputs
+    sharded like the batch. The reference's eval is single-GPU with a
+    host-side joblib metric pool (/root/reference/runner.py:586-603); here
+    each chip scores its batch shard on device and only (B,) score vectors
+    leave. Caller must feed batches divisible by the device count (the
+    Runner falls back to the single-device step otherwise)."""
+    every = P(tuple(mesh.axis_names))
+    batch_sh = NamedSharding(mesh, every)
+    rep = NamedSharding(mesh, P())
+
+    up = builder.upstream_params()
+    wav_sh = NamedSharding(mesh, P(tuple(mesh.axis_names), None, None))
+
+    def out_shardings(names):
+        return {
+            "loss": rep,
+            "scores": {n: batch_sh for n in names},
+            "wav_predicted": NamedSharding(
+                mesh, P(tuple(mesh.axis_names), None)
+            ),
+            "wav_inp": NamedSharding(mesh, P(tuple(mesh.axis_names), None)),
+            "wav_tar": NamedSharding(mesh, P(tuple(mesh.axis_names), None)),
+        }
+
+    # params/upstream keep whatever shardings they already carry (the
+    # train-step's tensor-parallel layout) — None = use the arg's sharding
+    jitted = jax.jit(
+        builder.eval_step_raw(),
+        in_shardings=(None, wav_sh, batch_sh, None),
+        out_shardings=out_shardings(builder.eval_metrics),
+    )
+
+    def step(params, wavs, lengths):
+        return jitted(params, wavs, lengths, up)
+
+    return step

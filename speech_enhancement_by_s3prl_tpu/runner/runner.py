@@ -172,6 +172,16 @@ class Runner:
             self.mesh = None
             self.train_step = self.builder.train_step_fn()
         self.eval_step = self.builder.eval_step_fn()
+        # mesh eval: batch sharded over every device (no gradient sync in
+        # eval, so tp devices act as extra dp); used for batches divisible
+        # by the device count, single-device step otherwise
+        self.eval_step_parallel = None
+        if self.mesh is not None:
+            from ..parallel.mesh import make_parallel_eval_step
+
+            self.eval_step_parallel = make_parallel_eval_step(
+                self.builder, self.mesh
+            )
 
         # --dckpt Downstream warm start applies to every head EXCEPT
         # Mockingjay, whose dckpt is the pretraining checkpoint already
@@ -657,9 +667,16 @@ class Runner:
 
         loss_sum = 0.0
         scores_sum = np.zeros(len(self.metric_names))
+        n_mesh_devices = self.mesh.size if self.mesh is not None else 0
         for indice, batch in enumerate(dataloader):
             lengths, wavs = batch[0], batch[1]
-            out = self.eval_step(
+            step_fn = (
+                self.eval_step_parallel
+                if self.eval_step_parallel is not None
+                and len(lengths) % n_mesh_devices == 0
+                else self.eval_step
+            )
+            out = step_fn(
                 self.state.params, jnp.asarray(wavs), jnp.asarray(lengths)
             )
             loss_sum += float(out["loss"])

@@ -215,7 +215,10 @@ class StepBuilder:
         masks = length_masks(lengths, max_len)
         return masked_normalize_decibel(wav, target_level, masks)
 
-    def eval_step_fn(self):
+    def eval_step_raw(self):
+        """The unjitted eval step — parallel/mesh.py jits it with the batch
+        sharded over the whole mesh for multi-chip eval/serving."""
+
         def step(params, wavs, lengths, up_params):
             ctx = make_context(
                 self.preprocessor, wavs, lengths, self.channel_inp, self.channel_tar
@@ -248,7 +251,10 @@ class StepBuilder:
                 "wav_tar": ctx["wav_tar"],
             }
 
-        jitted = jax.jit(step)
+        return step
+
+    def eval_step_fn(self):
+        jitted = jax.jit(self.eval_step_raw())
         up = self.upstream_params()
 
         def wrapped(params, wavs, lengths):

@@ -100,3 +100,40 @@ def test_opt_state_sharding_is_path_matched(corpus, tmp_path):
                 matched += 1
                 break
     assert matched >= 2 * len(p_leaves), "mu and nu should both be matched"
+
+
+def test_mesh_eval_matches_single_device(corpus, tmp_path):
+    """Batch-sharded eval over every mesh device reproduces the
+    single-device eval outputs (scores are per-utterance, loss a mean)."""
+    import jax.numpy as jnp
+
+    runner, config, args = make_runner(corpus, tmp_path)
+    runner.config["dataloader"]["batch_size"] = 4
+    runner.args.mesh = "4x2"
+    runner.set_model()
+    assert runner.eval_step_parallel is not None
+
+    rng = np.random.default_rng(1)
+    wavs = jnp.asarray(rng.standard_normal((8, 3, 16000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([16000, 12000, 9000, 16000, 8000, 16000, 11000, 16000])
+
+    single = runner.eval_step(runner.state.params, wavs, lengths)
+    multi = runner.eval_step_parallel(runner.state.params, wavs, lengths)
+    np.testing.assert_allclose(
+        float(multi["loss"]), float(single["loss"]), rtol=2e-4
+    )
+    for name in single["scores"]:
+        np.testing.assert_allclose(
+            np.asarray(multi["scores"][name]),
+            np.asarray(single["scores"][name]),
+            rtol=2e-3, atol=1e-4,
+        )
+    np.testing.assert_allclose(
+        np.asarray(multi["wav_predicted"]),
+        np.asarray(single["wav_predicted"]),
+        atol=2e-4,
+    )
+
+    # evaluate() integrates it: indivisible last batches fall back
+    loss, scores, *_ = runner.evaluate()
+    assert np.isfinite(loss) and np.isfinite(scores).all()
