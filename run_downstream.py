@@ -245,13 +245,6 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compile cache (TPU only: remote compiles are expensive;
-    # CPU AOT cache entries can abort on machine-feature mismatch)
-    from speech_enhancement_by_s3prl_tpu.utils.config import (
-        setup_compile_cache,
-    )
-
-    setup_compile_cache()
 
     if getattr(args, "mesh", None):
         # multi-host pods: one-call jax.distributed setup (no-op for
@@ -263,6 +256,23 @@ def main():
 
         if initialize_distributed():
             print(f"[distributed] {topology_summary()}", flush=True)
+        if args.cpu:
+            # CPU backend: provision enough virtual devices for the mesh
+            # (SURVEY.md section 4 — multi-device code is testable without
+            # TPUs via XLA host-device emulation). Must run before the
+            # first backend query (e.g. setup_compile_cache below).
+            need = 1
+            for part in str(args.mesh).lower().split("x"):
+                need *= int(part)
+            jax.config.update("jax_num_cpu_devices", need)
+
+    # persistent XLA compile cache (TPU only: remote compiles are expensive;
+    # CPU AOT cache entries can abort on machine-feature mismatch)
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache()
 
     expdir = os.path.join(args.expdir, args.name or "default")
     os.makedirs(expdir, exist_ok=True)
