@@ -90,6 +90,36 @@ def main():
         }))
         return
 
+    if os.environ.get("BENCH_MODE", "enhance") == "eval":
+        # full eval-step throughput: enhance + loss + ON-DEVICE metrics
+        # (sisdr + full STOI with silent-frame removal) — the reference
+        # scores metrics per utterance on a 12-process CPU pool instead
+        import dataclasses
+
+        builder = dataclasses.replace(
+            graft._build(), eval_metrics=("sisdr", "stoi")
+        )
+        rng = jax.random.PRNGKey(0)
+        state = builder.init_state(rng, wavs[:2], lengths[:2])
+        step = builder.eval_step_fn()
+        out = step(state.params, wavs, lengths)  # compile + warmup
+        float(out["loss"])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = step(state.params, wavs, lengths)
+            float(out["loss"]) + float(out["scores"]["stoi"].sum())
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * iters
+        audio_seconds = batch * utt_sec * iters
+        print(json.dumps({
+            "metric": "eval_audio_rtf_per_chip",
+            "value": round(audio_seconds / dt, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+        }))
+        return
+
     # scalar-reduced output: the sum depends on every enhanced sample, so
     # the whole pipeline executes, while the per-iteration device->host
     # fetch (which is the only reliable sync point through the axon tunnel

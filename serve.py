@@ -72,8 +72,7 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
                        **{**paras, **model_cfg})
     buckets = default_buckets(sample_rate, 60000)
 
-    @jax.jit
-    def _enhance(params, wavs, lengths):
+    def _enhance_raw(params, wavs, lengths):
         feats = pre(wavs[:, None, :])
         _, down_feat, linear_inp, phase_inp, *_ = feats
         predicted, _ = model.apply(params, features=down_feat, linears=linear_inp)
@@ -83,12 +82,36 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, target_level, masks)
 
+    _enhance = jax.jit(_enhance_raw)
+
+    # AOT executable cache (TPU only): serving processes skip cold-start
+    # compilation per bucket by loading serialized executables
+    _aot: dict = {}
+    use_aot = jax.default_backend() != "cpu" and os.environ.get(
+        "SE_EXEC_CACHE", "1"
+    ) == "1"
+
+    def _enhance_fn(T: int):
+        if not use_aot:
+            return _enhance
+        if T not in _aot:
+            from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+                compile_cached,
+            )
+
+            ex = jnp.zeros((1, T), jnp.float32)
+            _aot[T] = compile_cached(
+                _enhance_raw, params, ex, jnp.asarray([T]),
+                fn_key=f"serve_enhance_{ckpt}",
+            ) or _enhance
+        return _aot[T]
+
     def _single(wav: np.ndarray) -> np.ndarray:
         T = bucket_length(len(wav), buckets)
         batch = np.zeros((1, T), np.float32)
         batch[0, : len(wav)] = wav
         out = np.asarray(
-            _enhance(params, jnp.asarray(batch), jnp.asarray([len(wav)]))
+            _enhance_fn(T)(params, jnp.asarray(batch), jnp.asarray([len(wav)]))
         )
         return out[0, : len(wav)]
 
