@@ -90,6 +90,78 @@ def main():
         }))
         return
 
+    if os.environ.get("BENCH_MODE", "enhance") == "upstream":
+        # TERA/Mockingjay SSL encoder forward (6 x 768 x 12, the MXU-heavy
+        # path): (B, T', 80) log-mel+delta frames -> hidden states
+        from speech_enhancement_by_s3prl_tpu.models.transformer import (
+            TransformerConfig,
+        )
+        from speech_enhancement_by_s3prl_tpu.models.upstream import (
+            UpstreamTransformer,
+        )
+
+        up = UpstreamTransformer(
+            TransformerConfig(input_dim=80, hidden_dropout_prob=0.0,
+                              attention_probs_dropout_prob=0.0),
+            input_dim=80,
+            compute_dtype=(
+                jnp.bfloat16
+                if os.environ.get("BENCH_DTYPE", "bf16") in ("bf16", "bfloat16")
+                else jnp.float32
+            ),
+        )
+        frames = utt_sec * 100 + 1
+        feats = jax.jit(
+            lambda k: jax.random.normal(k, (batch, frames, 80), jnp.float32)
+        )(jax.random.PRNGKey(0))
+
+        fwd = jax.jit(lambda p, f: up(f, params=p).sum())
+        float(fwd(up.params, feats))  # compile + warmup
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fwd(up.params, feats))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * iters
+        audio_seconds = batch * utt_sec * iters
+        print(json.dumps({
+            "metric": "upstream_audio_rtf_per_chip",
+            "value": round(audio_seconds / dt, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+        }))
+        return
+
+    if os.environ.get("BENCH_MODE", "enhance") == "score":
+        # active-learning per-sample gradient embeddings: ONE vmap(grad)
+        # program vs the reference's per-utterance backward loop
+        # (/root/reference/sampler.py:89-106)
+        from speech_enhancement_by_s3prl_tpu.active.sampler import (
+            make_scoring_fn,
+        )
+
+        builder = graft._build()
+        rng = jax.random.PRNGKey(0)
+        state = builder.init_state(rng, wavs[:2], lengths[:2])
+        scoring = make_scoring_fn(builder, active_layerid=0)
+        g = scoring(state.params, wavs, lengths)
+        float(jnp.asarray(g).sum())  # compile + warmup
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            g = scoring(state.params, wavs, lengths)
+            float(jnp.asarray(g).sum())
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * iters
+        utts = batch * iters
+        print(json.dumps({
+            "metric": "sampler_scoring_utts_per_sec_per_chip",
+            "value": round(utts / dt, 2),
+            "unit": "utts_per_sec",
+            "vs_baseline": round((utts / dt) / 1.0, 3),
+        }))
+        return
+
     if os.environ.get("BENCH_MODE", "enhance") == "eval":
         # full eval-step throughput: enhance + loss + ON-DEVICE metrics
         # (sisdr + full STOI with silent-frame removal) — the reference
