@@ -137,3 +137,46 @@ def test_mesh_eval_matches_single_device(corpus, tmp_path):
     # evaluate() integrates it: indivisible last batches fall back
     loss, scores, *_ = runner.evaluate()
     assert np.isfinite(loss) and np.isfinite(scores).all()
+
+
+def test_mesh_with_warm_start_and_resume(corpus, tmp_path):
+    """--dckpt warm start and --resume load host arrays AFTER the mesh
+    sharding is set up; the sharded train step must still run (uncommitted
+    arrays get resharded by the explicit in_shardings)."""
+    import jax.numpy as jnp
+
+    runner, config, args = make_runner(corpus, tmp_path / "a")
+    runner.config["dataloader"]["batch_size"] = 4
+    runner.args.mesh = "4x2"
+    runner.set_model()
+    runner.save_model()
+
+    import glob
+
+    ckpt = sorted(glob.glob(str(tmp_path / "a" / "states-*.ckpt")))[-1]
+
+    # warm start a fresh mesh runner from that checkpoint
+    runner2, _, _ = make_runner(corpus, tmp_path / "b")
+    runner2.config["dataloader"]["batch_size"] = 4
+    runner2.args.mesh = "4x2"
+    runner2.args.dckpt = ckpt
+    runner2.set_model()
+
+    rng = np.random.default_rng(0)
+    wavs = jnp.asarray(rng.standard_normal((4, 3, 16000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([16000, 12000, 16000, 9000])
+    state, stats = runner2.train_step(
+        runner2.state, wavs, lengths, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(stats["loss"]))
+
+    # resume path on a mesh runner
+    runner3, _, _ = make_runner(corpus, tmp_path / "c")
+    runner3.config["dataloader"]["batch_size"] = 4
+    runner3.args.mesh = "4x2"
+    runner3.args.resume = ckpt
+    runner3.set_model()
+    state, stats = runner3.train_step(
+        runner3.state, wavs, lengths, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(stats["loss"]))
