@@ -197,3 +197,18 @@ def test_reference_metric_trio_eval(corpus, tmp_path):
     assert len(scores) == 3
     assert np.isfinite(scores).all(), scores
     assert 1.0 <= scores[1] <= 5.0  # pesq MOS range
+
+
+def test_profile_trace_written(corpus, tmp_path):
+    """--profile traces one train step to expdir/profile
+    (SURVEY.md section 5: tracing/profiling rebuild)."""
+    runner, config, args = make_runner(corpus, tmp_path)
+    runner.args.profile = True
+    runner.rconfig["profile_step"] = 2
+    runner.train()
+    pdir = os.path.join(str(tmp_path), "profile")
+    assert os.path.isdir(pdir)
+    found = []
+    for dirpath, _, names in os.walk(pdir):
+        found += names
+    assert found, "no trace files written"
