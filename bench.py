@@ -212,14 +212,17 @@ def main():
             compile_cached,
         )
 
+        from speech_enhancement_by_s3prl_tpu.models.lstm import (
+            DEFAULT_UNROLL,
+        )
+
         env_key = ",".join(
             f"{k}={os.environ.get(k, '')}"
             for k in (
                 "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
                 "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
-                "SE_LSTM_UNROLL",
             )
-        )
+        ) + f",unroll={DEFAULT_UNROLL}"
         fn = compile_cached(
             enhance_sum, params, wavs, lengths,
             fn_key=f"bench_enhance|{env_key}", verbose=True,

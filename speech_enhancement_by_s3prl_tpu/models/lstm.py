@@ -32,8 +32,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # scan unroll factor (amortizes while-loop trip overhead); env-tunable for
-# benchmarking without touching model signatures
-DEFAULT_UNROLL = int(os.environ.get("SE_LSTM_UNROLL", "8"))
+# benchmarking without touching model signatures. 4 measured best at the
+# champion batch on v5e: 28,958x vs 27,181x at 8 (docs/PERF.md round-2)
+DEFAULT_UNROLL = int(os.environ.get("SE_LSTM_UNROLL", "4"))
 
 
 def _xw_mode() -> str:
