@@ -31,12 +31,19 @@ def main():
     ap.add_argument("--sample_rate", type=int, default=16000)
     ap.add_argument("--target_level", type=float, default=-25.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard each batch over N devices (data-parallel "
+                         "serving over ICI); 0 = single device")
     args = ap.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            # CPU backend: provision virtual devices so the mesh path is
+            # testable without TPUs (SURVEY.md section 4)
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     from speech_enhancement_by_s3prl_tpu.utils.config import (
         setup_compile_cache,
     )
@@ -89,8 +96,7 @@ def main():
     model = build_head(downstream, input_size=dims[1], output_size=dims[2],
                        **{**paras, **model_cfg})
 
-    @jax.jit
-    def enhance(params, wavs, lengths):
+    def enhance_fn(params, wavs, lengths):
         feats = pre(wavs[:, None, :])
         _, down_feat, linear_inp, phase_inp, *_ = feats
         predicted, _ = model.apply(params, features=down_feat,
@@ -100,6 +106,41 @@ def main():
         wav = jnp.pad(wav, ((0, 0), (0, max(pad, 0))))[:, : wavs.shape[-1]]
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, args.target_level, masks)
+
+    # the streaming (long-file) path always runs single-device: it feeds
+    # one window at a time, which cannot shard over the batch axis
+    enhance_single = jax.jit(enhance_fn)
+
+    batch_round = 1
+    if args.mesh:
+        # data-parallel serving: the batch axis sharded over every device,
+        # params replicated. Serving has no gradient sync, so the only
+        # collective is the initial param broadcast — each chip enhances
+        # its batch shard independently and throughput scales linearly
+        # with the mesh (the reference serves nothing; SURVEY.md section 1).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()[: args.mesh]
+        assert len(devices) == args.mesh, (
+            f"--mesh {args.mesh} but only {len(devices)} devices visible"
+        )
+        mesh = Mesh(np.array(devices), ("data",))
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(
+            params, jax.tree.map(lambda _: rep, params)
+        )
+        enhance = jax.jit(
+            enhance_fn,
+            in_shardings=(
+                jax.tree.map(lambda _: rep, params),
+                NamedSharding(mesh, P("data", None)),
+                NamedSharding(mesh, P("data")),
+            ),
+            out_shardings=NamedSharding(mesh, P("data", None)),
+        )
+        batch_round = args.mesh
+    else:
+        enhance = enhance_single
 
     if os.path.isdir(args.inputs):
         files = find_audio_files(args.inputs)
@@ -120,7 +161,9 @@ def main():
 
         def window_fn(w):
             out = np.asarray(
-                enhance(params, jnp.asarray(w[None]), jnp.asarray([len(w)]))
+                enhance_single(
+                    params, jnp.asarray(w[None]), jnp.asarray([len(w)])
+                )
             )
             return out[0]
 
@@ -143,14 +186,18 @@ def main():
             out[j] = enhance_one(wavs[j])
         if short_idx:
             T = bucket_length(int(max(lengths[j] for j in short_idx)), buckets)
-            batch = np.zeros((len(short_idx), T), np.float32)
+            # sharded batches must divide evenly over the mesh: round the
+            # row count up by repeating row 0 (extra outputs are discarded)
+            n_rows = -(-len(short_idx) // batch_round) * batch_round
+            batch = np.zeros((n_rows, T), np.float32)
+            blens = np.full((n_rows,), T, np.int64)
             for k, j in enumerate(short_idx):
                 batch[k, : lengths[j]] = wavs[j]
+                blens[k] = lengths[j]
+            batch[len(short_idx):] = batch[0]
+            blens[len(short_idx):] = blens[0]
             res = np.asarray(
-                enhance(
-                    params, jnp.asarray(batch),
-                    jnp.asarray([lengths[j] for j in short_idx]),
-                )
+                enhance(params, jnp.asarray(batch), jnp.asarray(blens))
             )
             for k, j in enumerate(short_idx):
                 out[j] = res[k]

@@ -4,25 +4,86 @@
 POST a WAV (or FLAC) body to ``/enhance`` and receive the enhanced WAV.
 ``GET /healthz`` reports model/device status. Requests are padded to
 static duration buckets so every request after warmup hits a cached XLA
-executable; single-threaded by design (one TPU program at a time).
+executable. Default is single-threaded (one TPU program at a time);
+``--workers N`` enables concurrent request handling with a micro-batching
+queue — concurrent requests are coalesced into ONE device batch (batching
+is the dominant throughput lever on TPU, docs/PERF.md), optionally sharded
+over a ``--mesh N`` device mesh so serving throughput scales over ICI.
 
   python serve.py --ckpt result/exp1 --port 8080
+  python serve.py --ckpt result/exp1 --workers 16 --mesh 4   # batched+dp
   curl --data-binary @noisy.wav http://localhost:8080/enhance > out.wav
 """
 import argparse
 import io
 import json
 import os
+import queue
 import sys
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
+class MicroBatcher:
+    """Coalesce concurrent single-utterance requests into one device batch.
+
+    Handler threads call ``submit(wav)`` and block; a single dispatcher
+    thread drains the queue (waiting at most ``window_ms`` after the first
+    arrival), pads the group to a common bucket length — rounded up to a
+    multiple of ``batch_round`` for mesh-sharded serving — runs ONE jitted
+    enhance program, and fans results back out. One TPU program in flight
+    at a time by construction.
+    """
+
+    def __init__(self, run_batch, max_batch=16, window_ms=3.0, batch_round=1):
+        self._run = run_batch  # list[np.ndarray] -> list[np.ndarray]
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self.round = batch_round
+        self._q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, wav: np.ndarray) -> np.ndarray:
+        ev = threading.Event()
+        slot: dict = {}
+        self._q.put((wav, ev, slot))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def _loop(self):
+        while True:
+            group = [self._q.get()]
+            deadline = time.time() + self.window
+            while len(group) < self.max_batch:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            wavs = [g[0] for g in group]
+            try:
+                outs = self._run(wavs)
+                for (_, ev, slot), out in zip(group, outs):
+                    slot["out"] = out
+                    ev.set()
+            except Exception as e:  # pragma: no cover - surfaced to callers
+                for _, ev, slot in group:
+                    slot["err"] = e
+                    ev.set()
+
+
+def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
+                   mesh_n: int = 0):
     import jax
 
     from speech_enhancement_by_s3prl_tpu.utils.config import (
@@ -82,12 +143,40 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, target_level, masks)
 
-    _enhance = jax.jit(_enhance_raw)
+    batch_round = 1
+    if mesh_n:
+        # data-parallel serving: batches sharded over the device mesh,
+        # params replicated; each chip enhances its shard independently
+        # (no collectives in the program), so request throughput scales
+        # linearly over ICI
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()[:mesh_n]
+        assert len(devices) == mesh_n, (
+            f"--mesh {mesh_n} but only {len(devices)} devices visible"
+        )
+        mesh = Mesh(np.array(devices), ("data",))
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+        _enhance = jax.jit(
+            _enhance_raw,
+            in_shardings=(
+                jax.tree.map(lambda _: rep, params),
+                NamedSharding(mesh, P("data", None)),
+                NamedSharding(mesh, P("data")),
+            ),
+            out_shardings=NamedSharding(mesh, P("data", None)),
+        )
+        batch_round = mesh_n
+    else:
+        _enhance = jax.jit(_enhance_raw)
 
     # AOT executable cache (TPU only): serving processes skip cold-start
-    # compilation per bucket by loading serialized executables
+    # compilation per bucket by loading serialized executables. Single-
+    # request shapes only — batched/mesh shapes go through the jit (their
+    # HLO is covered by the persistent compile cache).
     _aot: dict = {}
-    use_aot = jax.default_backend() != "cpu" and os.environ.get(
+    use_aot = mesh_n == 0 and jax.default_backend() != "cpu" and os.environ.get(
         "SE_EXEC_CACHE", "1"
     ) == "1"
 
@@ -106,14 +195,31 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
             ) or _enhance
         return _aot[T]
 
+    def _run_batch(wavs) -> list:
+        """Enhance a group of utterances as ONE device batch: pad to the
+        common duration bucket; round the row count up to a power of two
+        (bounds compiled shapes per bucket) and to a multiple of the mesh
+        size (sharded batches must divide evenly). Extra rows repeat row 0
+        and are discarded."""
+        T = bucket_length(max(len(w) for w in wavs), buckets)
+        n = max(1, 1 << (len(wavs) - 1).bit_length())
+        n = -(-n // batch_round) * batch_round
+        if n == 1 and use_aot:
+            fn = _enhance_fn(T)
+        else:
+            fn = _enhance
+        batch = np.zeros((n, T), np.float32)
+        lens = np.empty((n,), np.int64)
+        for k, w in enumerate(wavs):
+            batch[k, : len(w)] = w
+            lens[k] = len(w)
+        batch[len(wavs):] = batch[0]
+        lens[len(wavs):] = lens[0]
+        out = np.asarray(fn(params, jnp.asarray(batch), jnp.asarray(lens)))
+        return [out[k, : len(w)] for k, w in enumerate(wavs)]
+
     def _single(wav: np.ndarray) -> np.ndarray:
-        T = bucket_length(len(wav), buckets)
-        batch = np.zeros((1, T), np.float32)
-        batch[0, : len(wav)] = wav
-        out = np.asarray(
-            _enhance_fn(T)(params, jnp.asarray(batch), jnp.asarray([len(wav)]))
-        )
-        return out[0, : len(wav)]
+        return _run_batch([wav])[0]
 
     def enhance(wav: np.ndarray) -> np.ndarray:
         if len(wav) <= buckets[-1]:
@@ -129,6 +235,9 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float):
             window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
         )
 
+    enhance.run_batch = _run_batch
+    enhance.batch_round = batch_round
+    enhance.max_len = buckets[-1]
     return enhance
 
 
@@ -140,12 +249,32 @@ def main():
     ap.add_argument("--sample_rate", type=int, default=16000)
     ap.add_argument("--target_level", type=float, default=-25.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--workers", type=int, default=1,
+                    help=">1 serves requests concurrently and coalesces "
+                         "them into micro-batched device programs")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard each serving batch over N devices "
+                         "(data-parallel; pairs with --workers)")
+    ap.add_argument("--max_batch", type=int, default=16,
+                    help="micro-batch size cap (workers mode)")
+    ap.add_argument("--batch_window_ms", type=float, default=3.0,
+                    help="how long the batcher waits for co-riders after "
+                         "the first request arrives")
     args = ap.parse_args()
 
+    workers = getattr(args, "workers", 1)
+    mesh_n = getattr(args, "mesh", 0)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        if mesh_n:
+            try:
+                jax.config.update("jax_num_cpu_devices", mesh_n)
+            except RuntimeError:
+                # backend already initialized (in-process tests): fine as
+                # long as enough devices exist — build_enhancer asserts
+                pass
 
     from speech_enhancement_by_s3prl_tpu.data.audio_io import (
         read_audio,
@@ -153,10 +282,23 @@ def main():
         write_wav,
     )
 
-    enhance = build_enhancer(args.ckpt, args.sample_rate, args.target_level)
+    enhance = build_enhancer(
+        args.ckpt, args.sample_rate, args.target_level, mesh_n=mesh_n
+    )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))
+    batcher = (
+        MicroBatcher(
+            enhance.run_batch,
+            max_batch=getattr(args, "max_batch", 16),
+            window_ms=getattr(args, "batch_window_ms", 3.0),
+            batch_round=enhance.batch_round,
+        )
+        if workers > 1
+        else None
+    )
     stats = {"requests": 0, "audio_seconds": 0.0, "wall_seconds": 0.0}
+    stats_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):
@@ -207,11 +349,16 @@ def main():
                 return
 
             t0 = time.time()
-            out = enhance(np.asarray(wav, np.float32))
+            wav = np.asarray(wav, np.float32)
+            if batcher is not None and len(wav) <= enhance.max_len:
+                out = batcher.submit(wav)
+            else:
+                out = enhance(wav)
             dt = time.time() - t0
-            stats["requests"] += 1
-            stats["audio_seconds"] += len(out) / args.sample_rate
-            stats["wall_seconds"] += dt
+            with stats_lock:
+                stats["requests"] += 1
+                stats["audio_seconds"] += len(out) / args.sample_rate
+                stats["wall_seconds"] += dt
 
             buf = io.BytesIO()
             import wave as wavelib
@@ -224,8 +371,10 @@ def main():
                 w.writeframes(pcm.tobytes())
             self._reply(200, buf.getvalue(), "audio/wav")
 
-    server = HTTPServer((args.host, args.port), Handler)
-    print(f"[serve] listening on http://{args.host}:{args.port}", flush=True)
+    server_cls = ThreadingHTTPServer if workers > 1 else HTTPServer
+    server = server_cls((args.host, args.port), Handler)
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"(workers={workers}, mesh={mesh_n or 1})", flush=True)
     server.serve_forever()
 
 

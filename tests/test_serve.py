@@ -125,3 +125,113 @@ def test_enhance_rejects_garbage(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def batched_server(corpus, tmp_path_factory):
+    """Concurrent serving: --workers 4 --mesh 2 (threaded HTTP handlers,
+    micro-batching dispatcher, dp-sharded batches over 2 virtual devices)."""
+    tmp = tmp_path_factory.mktemp("serve_batched")
+    runner, config, args = make_runner(corpus, tmp)
+    runner.save_model()
+
+    sys.path.insert(0, REPO)
+    import argparse
+
+    import serve
+    from http.server import HTTPServer
+
+    class Args(argparse.Namespace):
+        ckpt = str(tmp)
+        host = "127.0.0.1"
+        port = 0
+        sample_rate = 16000
+        target_level = -25.0
+        cpu = True
+        workers = 4
+        mesh = 2
+        max_batch = 8
+        batch_window_ms = 20.0
+
+    holder = {}
+    real_parse = argparse.ArgumentParser.parse_args
+    real_serve = HTTPServer.serve_forever
+
+    def capture_serve(self):
+        holder["server"] = self
+        real_serve(self)
+
+    argparse.ArgumentParser.parse_args = lambda self, *a, **k: Args()
+    HTTPServer.serve_forever = capture_serve
+    try:
+        t = threading.Thread(target=serve.main, daemon=True)
+        t.start()
+        import time
+
+        for _ in range(600):
+            if "server" in holder:
+                break
+            time.sleep(0.5)
+        assert "server" in holder, "batched server did not start"
+        yield holder["server"]
+    finally:
+        argparse.ArgumentParser.parse_args = real_parse
+        HTTPServer.serve_forever = real_serve
+        if "server" in holder:
+            holder["server"].shutdown()
+
+
+def test_concurrent_requests_microbatched(batched_server):
+    """Fire concurrent requests at the workers+mesh server; every response
+    must be the same enhancement the request would get alone (batching and
+    dp sharding only partition the same program)."""
+    rng = np.random.default_rng(2)
+    wavs = []
+    # all lengths inside ONE duration bucket (16001..32000 -> 2 s bucket):
+    # features with CMVN are normalized over padded frames (exactly like
+    # the reference's padded torch batches), so outputs are only
+    # comparable when solo and batched runs pad to the same bucket
+    for i in range(6):
+        n = int(rng.integers(18000, 30000))
+        t = np.arange(n) / 16000.0
+        wavs.append(
+            (0.2 * np.sin(2 * np.pi * (200 + 40 * i) * t)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        )
+
+    def post(w):
+        req = urllib.request.Request(
+            _url(batched_server, "/enhance"), data=_wav_bytes(w),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = r.read()
+        with wavelib.open(io.BytesIO(out)) as f:
+            return np.frombuffer(
+                f.readframes(f.getnframes()), dtype="<i2"
+            ).astype(np.float32) / 32767.0
+
+    # sequential truth first (each request rides alone)
+    solo = [post(w) for w in wavs]
+
+    results = [None] * len(wavs)
+    errs = []
+
+    def worker(i):
+        try:
+            results[i] = post(wavs[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(wavs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+    for i, (a, b) in enumerate(zip(results, solo)):
+        assert a is not None, f"request {i} got no response"
+        assert len(a) == len(wavs[i])
+        # int16 quantization plus fp reduction-order differences
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=f"request {i}")
