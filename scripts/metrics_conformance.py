@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Conformance harness: score this framework's metric kernels against the
+external reference implementations the PyTorch reference uses
+(/root/reference/evaluation.py: `pesq` = ITU-T P.862 C code, `pystoi`).
+
+Neither wheel ships in this image (and there is no network egress), so the
+harness is the *portable* half of VERDICT round-1 item 3: run it in any
+environment where the wheels are installed —
+
+    pip install pesq pystoi
+    python scripts/metrics_conformance.py --out docs/CONFORMANCE.json
+
+It generates a deterministic battery of (clean, degraded) pairs — seeded
+noise at several SNRs, level offsets, filtered speech-shaped signals — and
+reports per-pair values plus mean/max absolute deltas for pesq_nb,
+pesq_wb, stoi and estoi. The JAX STOI/ESTOI are expected to match pystoi
+closely (see tests/test_stoi_reference.py for the in-repo independent
+transcription); the JAX PESQ is a structured approximation of the P.862
+perceptual model (metrics/pesq_jax.py documents its deviations) — the
+report turns its fidelity statement from qualitative into measured.
+
+Without the wheels the harness still runs the JAX metrics and emits their
+values, so two environments can be diffed.
+"""
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SR = 16000
+
+
+def battery():
+    """Deterministic (name, clean, degraded) pairs, 16 kHz float32."""
+    rng = np.random.default_rng(1227)
+    n = 4 * SR
+    t = np.arange(n) / SR
+    # speech-shaped deterministic "clean": harmonic stack with slow AM
+    f0 = 140.0
+    clean = sum(
+        a * np.sin(2 * np.pi * f0 * k * t + p)
+        for k, (a, p) in enumerate(
+            [(0.5, 0.0), (0.35, 1.0), (0.22, 2.0), (0.12, 0.5), (0.06, 1.5)],
+            start=1,
+        )
+    )
+    clean *= 1.0 + 0.4 * np.sin(2 * np.pi * 2.5 * t)
+    clean = (0.1 * clean / np.abs(clean).max()).astype(np.float32)
+
+    pairs = []
+    for snr in (20, 10, 5, 0, -5):
+        noise = rng.standard_normal(n).astype(np.float32)
+        noise *= np.sqrt((clean**2).mean() / (noise**2).mean()) * 10 ** (
+            -snr / 20
+        )
+        pairs.append((f"white_snr{snr}", clean, clean + noise))
+    # level offset (PESQ should be ~level-invariant after alignment)
+    pairs.append(("gain+6dB", clean, (clean * 2.0).astype(np.float32)))
+    # lowpassed degraded (band distortion)
+    k = np.hanning(33).astype(np.float32)
+    k /= k.sum()
+    lp = np.convolve(clean, k, mode="same").astype(np.float32)
+    pairs.append(("lowpass", clean, lp))
+    # clipped
+    pairs.append(("clip", clean, np.clip(clean, -0.03, 0.03)))
+    return pairs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="", help="write a JSON report here")
+    ap.add_argument("--device", action="store_true",
+                    help="score on the default accelerator instead of CPU")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.device:
+        # metrics are tiny — never claim the (single-client) TPU for them
+        jax.config.update("jax_platforms", "cpu")
+    from speech_enhancement_by_s3prl_tpu.metrics import (
+        estoi_eval,
+        pesq_nb_eval,
+        pesq_wb_eval,
+        stoi_eval,
+    )
+
+    try:
+        from pesq import pesq as itu_pesq
+    except ImportError:
+        itu_pesq = None
+    try:
+        from pystoi import stoi as py_stoi
+    except ImportError:
+        py_stoi = None
+
+    report = {"sample_rate": SR, "pairs": [], "itu_pesq": itu_pesq is not None,
+              "pystoi": py_stoi is not None}
+    deltas = {m: [] for m in ("pesq_nb", "pesq_wb", "stoi", "estoi")}
+
+    for name, clean, deg in battery():
+        row = {"name": name}
+        row["jax"] = {
+            "pesq_nb": round(pesq_nb_eval(deg, clean), 4),
+            "pesq_wb": round(pesq_wb_eval(deg, clean), 4),
+            "stoi": round(stoi_eval(deg, clean), 5),
+            "estoi": round(estoi_eval(deg, clean), 5),
+        }
+        ext = {}
+        if itu_pesq is not None:
+            ext["pesq_nb"] = round(float(itu_pesq(SR, clean, deg, "nb")), 4)
+            ext["pesq_wb"] = round(float(itu_pesq(SR, clean, deg, "wb")), 4)
+        if py_stoi is not None:
+            ext["stoi"] = round(float(py_stoi(clean, deg, SR)), 5)
+            ext["estoi"] = round(float(py_stoi(clean, deg, SR, extended=True)), 5)
+        if ext:
+            row["external"] = ext
+            for m, v in ext.items():
+                deltas[m].append(abs(row["jax"][m] - v))
+        report["pairs"].append(row)
+        print(f"{name:>14}  " + "  ".join(
+            f"{m}={row['jax'][m]}" + (f"/{ext[m]}" if m in ext else "")
+            for m in ("pesq_nb", "stoi", "estoi")
+        ))
+
+    summary = {}
+    for m, ds in deltas.items():
+        if ds:
+            summary[m] = {
+                "mean_abs_delta": round(float(np.mean(ds)), 4),
+                "max_abs_delta": round(float(np.max(ds)), 4),
+                "n": len(ds),
+            }
+    report["summary"] = summary
+    if summary:
+        print("deltas vs external:", json.dumps(summary))
+    else:
+        print("external wheels absent: JAX-only values recorded "
+              "(install pesq/pystoi and re-run to measure deltas)")
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=1))
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .stoi import metric_precision as _metric_precision
 from .stoi import resample as _resample
 
 SL = 3.71e-1  # loudness scaling (calibrated so 0 dB white noise ~ 1.5 MOS nb)
@@ -122,10 +123,13 @@ def _frames_power(x, C):
         + jnp.arange(C["n_frame"])[None, :]
     )
     fr = x[:, idx]
+    # scoreboard metric: full-f32 contraction operands (TPU default
+    # precision bf16-truncates matmul inputs — see metrics/stoi.py note)
+    hi = _metric_precision()
     re = jnp.einsum("bmn,nk->bmk", fr, jnp.asarray(C["dft_re"]),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=hi)
     im = jnp.einsum("bmn,nk->bmk", fr, jnp.asarray(C["dft_im"]),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32, precision=hi)
     return re * re + im * im  # (B, M, bins)
 
 
@@ -186,10 +190,11 @@ def pesq_batch(
 
     # bark grouping
     G = jnp.asarray(C["pow_group"])
+    hi = _metric_precision()
     B_ref = jnp.einsum("bmk,kj->bmj", P_ref, G,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=hi)
     B_deg = jnp.einsum("bmk,kj->bmj", P_deg, G,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=hi)
 
     p0 = jnp.asarray(C["p0"])
 

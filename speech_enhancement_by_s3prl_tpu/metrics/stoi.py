@@ -30,6 +30,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def metric_precision():
+    """Matmul precision for the scoreboard metric kernels, read at trace
+    time. TPU 'default' bf16-truncates contraction inputs, which measurably
+    corrupts metric DFTs (STOI moved ~0.09 on band-limited signals); the
+    default here is 'highest' (full f32, 6-pass). SE_METRIC_PRECISION=high
+    selects the 3-pass bf16x3 mode — cheaper, near-f32 — if its measured
+    metric error (docs/PERF.md) is acceptable."""
+    import os
+
+    name = os.environ.get("SE_METRIC_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 FS = 10000          # STOI internal rate
 N_FRAME = 256       # frame length at 10 kHz
 HOP = 128
@@ -53,27 +67,81 @@ def _resample_kernel(up: int, down: int, window_beta: float = 5.0):
     return np.asarray(h, dtype=np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _polyphase_mat(up: int, down: int):
+    """Dense blockwise form of the zero-stuff -> FIR -> decimate resampler.
+
+    The textbook implementation (lhs-dilated conv) maps terribly onto TPU:
+    XLA materializes the up-sampled stream, so a 161-tap 16k->10k pass at
+    Precision.HIGHEST costs ~160 ms for (640, 160k) — dominating the eval
+    step. Writing the SAME linear map blockwise turns it into one dense
+    matmul: every block of ``up`` consecutive outputs reads the same
+    ``Wd``-sample input window advancing by ``down``, so
+
+        y[up*s + j] = sum_w  x[down*s + omin + w] * W[w, j]
+
+    with W built here from the FIR taps (zero-interleaved per output
+    phase). Returns (W (Wd, up), omin).
+    """
+    h = _resample_kernel(up, down)
+    L = len(h)
+    p = L // 2
+    # output m = up*s + j reads taps k = p - j*down + up*o at input offset
+    # o from the block base down*s (derivation: zero-stuffed index
+    # m*down + k - p must be a multiple of up)
+    omin = -(-(-p) // up)  # ceil(-p / up)
+    omax = (L - 1 - p + (up - 1) * down) // up
+    Wd = omax - omin + 1
+    W = np.zeros((Wd, up), np.float32)
+    for j in range(up):
+        for o in range(omin, omax + 1):
+            k = p - j * down + up * o
+            if 0 <= k < L:
+                W[o - omin, j] = h[k]
+    return W, omin
+
+
 def resample(x: jnp.ndarray, orig_sr: int, new_sr: int) -> jnp.ndarray:
-    """(..., T) -> (..., T * up // down) polyphase resample."""
+    """(..., T) -> (..., ceil(T * up / down)) polyphase resample as one
+    dense matmul (see _polyphase_mat)."""
     if orig_sr == new_sr:
         return x
     g = math.gcd(orig_sr, new_sr)
     up, down = new_sr // g, orig_sr // g
-    h = jnp.asarray(_resample_kernel(up, down))
+    W, omin = _polyphase_mat(up, down)
+    Wd = W.shape[0]
     lead = x.shape[:-1]
     t = x.shape[-1]
-    xb = x.reshape((-1, 1, t))
-    # upsample by zero-stuffing via conv_transpose stride=up, then filter+decimate
-    out = jax.lax.conv_general_dilated(
-        xb,
-        h[None, None, :],
-        window_strides=(down,),
-        padding=[(len(h) // 2, len(h) // 2)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    xb = x.reshape((-1, t))
+
+    n_out = -(-t * up // down)  # ceil
+    n_blocks = -(-n_out // up)
+    # frames[s, w] = x[down*s + omin + w], zeros outside [0, t)
+    left = max(0, -omin)
+    start = omin + left
+    need = down * (n_blocks - 1) + start + Wd  # highest index + 1 into xp
+    xp = jnp.pad(xb, ((0, 0), (left, max(0, need - (t + left)))))
+    # blockwise sliding window without gather: reshape to down-sample rows
+    # and concatenate shifted row views (stride down == one row)
+    n_rows = xp.shape[-1] // down
+    k_rows = -(-(start + Wd) // down)
+    if n_rows < n_blocks + k_rows:
+        xp = jnp.pad(xp, ((0, 0), (0, (n_blocks + k_rows - n_rows) * down)))
+        n_rows = n_blocks + k_rows
+    view = xp[:, : n_rows * down].reshape(xb.shape[0], n_rows, down)
+    wide = jnp.concatenate(
+        [view[:, i : i + n_blocks] for i in range(k_rows)], axis=-1
     )
-    n_out = int(math.ceil(t * up / down))
-    return out[:, 0, :n_out].reshape(lead + (n_out,))
+    frames = wide[:, :, start : start + Wd]
+    # metrics are the scoreboard: no bf16-truncated contraction inputs
+    # (TPU default precision truncates operands to bf16, measured to
+    # move STOI by up to ~0.09 on band-limited signals)
+    y = jnp.einsum(
+        "bsw,wj->bsj", frames, jnp.asarray(W),
+        preferred_element_type=jnp.float32, precision=metric_precision(),
+    )
+    y = y.reshape(xb.shape[0], n_blocks * up)[:, :n_out]
+    return y.reshape(lead + (n_out,))
 
 
 @functools.lru_cache(maxsize=1)
@@ -109,6 +177,19 @@ def _dft_mats():
     re = (w[:, None] * np.cos(ang)).astype(np.float32)
     im = (w[:, None] * -np.sin(ang)).astype(np.float32)
     return re, im
+
+
+@functools.lru_cache(maxsize=1)
+def _trimmed_band_mats():
+    """DFT + band matrices restricted to the bins any third-octave band
+    actually reads (~bins 7..219 of 257). Exact: bins outside the bands
+    never reach the band sum, and metric DFTs run at Precision.HIGHEST
+    (6-pass f32), so dropping dead columns cuts real MXU work."""
+    re, im = _dft_mats()
+    obm = _third_octave_matrix()
+    used = np.flatnonzero(obm.any(axis=1))
+    k0, k1 = int(used[0]), int(used[-1]) + 1
+    return re[:, k0:k1], im[:, k0:k1], obm[k0:k1]
 
 
 def _frame(x: jnp.ndarray, n_frames: int) -> jnp.ndarray:
@@ -154,12 +235,19 @@ def _ola_reframe(frames_w, kept):
 
 def _band_envelopes(frames):
     """(B, M, 256) raw frames -> (B, M, 15) third-octave magnitudes."""
-    re_mat, im_mat = _dft_mats()
-    re = jnp.einsum("bmn,nk->bmk", frames, re_mat, preferred_element_type=jnp.float32)
-    im = jnp.einsum("bmn,nk->bmk", frames, im_mat, preferred_element_type=jnp.float32)
+    re_mat, im_mat, obm = _trimmed_band_mats()
+    # near-f32 operands: TPU default matmul precision feeds bf16-truncated
+    # inputs to the MXU, which corrupts the DFT of band-limited signals
+    # enough to move STOI by ~0.09 (measured on v5e; metric_precision()
+    # matches the CPU reference to <1e-4)
+    hi = metric_precision()
+    re = jnp.einsum("bmn,nk->bmk", frames, re_mat,
+                    preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.einsum("bmn,nk->bmk", frames, im_mat,
+                    preferred_element_type=jnp.float32, precision=hi)
     power = re * re + im * im
-    obm = _third_octave_matrix()
-    band_pow = jnp.einsum("bmk,kj->bmj", power, obm, preferred_element_type=jnp.float32)
+    band_pow = jnp.einsum("bmk,kj->bmj", power, obm,
+                          preferred_element_type=jnp.float32, precision=hi)
     return jnp.sqrt(band_pow + 1e-20)
 
 

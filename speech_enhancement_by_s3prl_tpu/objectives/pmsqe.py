@@ -73,8 +73,14 @@ class PMSQE:
         mat = jnp.asarray(
             bark_matrix(power.shape[-1], self.sample_rate, self.n_bands)
         )
+        # near-f32 operands: bark sums span ~60 dB of band dynamics, and
+        # TPU default precision bf16-truncates matmul inputs (see
+        # metrics/stoi.py measurement)
+        from ..metrics.stoi import metric_precision
+
         return jnp.einsum("...f,fb->...b", power, mat,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=metric_precision())
 
     def _normalize_power(self, power, frame_masks):
         """Scale so mean active power in the speech band hits POWER_FACTOR
