@@ -180,7 +180,13 @@ def main():
         )
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
-        step = builder.eval_step_fn()
+        # wav_out='first' is what the runner uses when all metrics score
+        # on device: frees three full-batch output buffers (trainer.py).
+        # Chunked metric kernels (lax.map over sub-batches of 128) cut the
+        # metric intermediates' peak HBM; together these raise the eval
+        # ceiling from B=640 to the faster B=768 (docs/PERF.md eval table).
+        os.environ.setdefault("SE_METRIC_CHUNK", "128")
+        step = builder.eval_step_fn(wav_out="first")
         out = step(state.params, wavs, lengths)  # compile + warmup
         float(out["loss"])
         times = []

@@ -130,7 +130,46 @@ def batch_scores(
 ) -> Dict[str, jnp.ndarray]:
     """On-device scores for every metric in `names` that has a batch kernel;
     returns {name: (B,) array}. Host-only metrics (pesq_*) are skipped here
-    and scored by the runner on host."""
+    and scored by the runner on host.
+
+    SE_METRIC_CHUNK=<n> (trace-time) scores the batch in sub-batches of n
+    via lax.map: the metric kernels' big intermediates (the 10 kHz
+    resampled stream, STOI frames/band envelopes, PESQ frame powers) are
+    then allocated per chunk instead of for the full batch, cutting peak
+    HBM so larger eval batches fit (docs/PERF.md eval table). Scores are
+    identical — chunking only tiles the batch dimension."""
+    import os
+
+    chunk = int(os.environ.get("SE_METRIC_CHUNK", "0"))
+    B = wav_predicted.shape[0]
+    if chunk > 0 and B > chunk and B % chunk == 0:
+        def score_chunk(args):
+            pred, tar, ln = args
+            return batch_scores_unchunked(
+                names, pred, tar, ln, sample_rate
+            )
+
+        parts = jax.lax.map(
+            score_chunk,
+            (
+                wav_predicted.reshape(B // chunk, chunk, -1),
+                wav_tar.reshape(B // chunk, chunk, -1),
+                lengths.reshape(B // chunk, chunk),
+            ),
+        )
+        return {k: v.reshape(B) for k, v in parts.items()}
+    return batch_scores_unchunked(
+        names, wav_predicted, wav_tar, lengths, sample_rate
+    )
+
+
+def batch_scores_unchunked(
+    names: Sequence[str],
+    wav_predicted: jnp.ndarray,
+    wav_tar: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sample_rate: int = 16000,
+) -> Dict[str, jnp.ndarray]:
     out = {}
     for name in names:
         if name == "sisdr":

@@ -171,7 +171,16 @@ class Runner:
         else:
             self.mesh = None
             self.train_step = self.builder.train_step_fn()
-        self.eval_step = self.builder.eval_step_fn()
+        # when every configured metric scores on device, evaluate() only
+        # reads utterance 0 of the returned waveforms (media logging) —
+        # return just that row and free three full-batch output buffers
+        # (trainer.eval_step_raw docstring; docs/PERF.md eval table)
+        needs_full_wavs = any(
+            m not in device_batch_metrics() for m in self.metric_names
+        )
+        self.eval_step = self.builder.eval_step_fn(
+            wav_out="full" if needs_full_wavs else "first"
+        )
         # mesh eval: batch sharded over every device (no gradient sync in
         # eval, so tp devices act as extra dp); used for batches divisible
         # by the device count, single-device step otherwise

@@ -215,9 +215,15 @@ class StepBuilder:
         masks = length_masks(lengths, max_len)
         return masked_normalize_decibel(wav, target_level, masks)
 
-    def eval_step_raw(self):
+    def eval_step_raw(self, wav_out: str = "full"):
         """The unjitted eval step — parallel/mesh.py jits it with the batch
-        sharded over the whole mesh for multi-chip eval/serving."""
+        sharded over the whole mesh for multi-chip eval/serving.
+
+        wav_out='first' returns only utterance 0 of the noisy/clean/
+        enhanced waveforms — all the runner's media logging reads when
+        every metric scores on device. Dropping the other B-1 rows frees
+        three full-batch (B, T) output buffers (~1.5 GB at B=768 x 10 s),
+        raising the eval batch ceiling (docs/PERF.md eval table)."""
 
         def step(params, wavs, lengths, up_params):
             ctx = make_context(
@@ -243,18 +249,19 @@ class StepBuilder:
                 self.eval_metrics, wav_predicted, ctx["wav_tar"], lengths,
                 self.sample_rate,
             )
+            keep = (lambda w: w[:1]) if wav_out == "first" else (lambda w: w)
             return {
                 "loss": loss,
                 "scores": scores,
-                "wav_predicted": wav_predicted,
-                "wav_inp": ctx["wav_inp"],
-                "wav_tar": ctx["wav_tar"],
+                "wav_predicted": keep(wav_predicted),
+                "wav_inp": keep(ctx["wav_inp"]),
+                "wav_tar": keep(ctx["wav_tar"]),
             }
 
         return step
 
-    def eval_step_fn(self):
-        jitted = jax.jit(self.eval_step_raw())
+    def eval_step_fn(self, wav_out: str = "full"):
+        jitted = jax.jit(self.eval_step_raw(wav_out))
         up = self.upstream_params()
 
         def wrapped(params, wavs, lengths):

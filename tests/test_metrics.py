@@ -142,3 +142,23 @@ def test_batch_scores_device_metrics():
     assert set(scores) == {"stoi", "sisdr", "estoi", "pesq_nb"}
     for v in scores.values():
         assert v.shape == (3,) and np.isfinite(np.asarray(v)).all()
+
+
+def test_batch_scores_chunked_matches_unchunked(monkeypatch):
+    """SE_METRIC_CHUNK tiles the batch through lax.map (HBM relief for
+    large eval batches, docs/PERF.md) — scores must match to float ulps."""
+    rng = np.random.default_rng(7)
+    tar = np.stack([_speechlike(rng, 16000) for _ in range(4)])
+    src = tar + 0.1 * rng.standard_normal(tar.shape).astype(np.float32)
+    lengths = jnp.asarray([16000, 14000, 12000, 16000])
+    names = ["stoi", "sisdr", "estoi", "pesq_nb"]
+    ref = batch_scores(names, jnp.asarray(src), jnp.asarray(tar), lengths)
+    monkeypatch.setenv("SE_METRIC_CHUNK", "2")
+    chunked = batch_scores(names, jnp.asarray(src), jnp.asarray(tar), lengths)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(ref[n]), np.asarray(chunked[n]), rtol=2e-6, atol=2e-6)
+    # non-dividing chunk falls back to the unchunked path
+    monkeypatch.setenv("SE_METRIC_CHUNK", "3")
+    fb = batch_scores(names, jnp.asarray(src), jnp.asarray(tar), lengths)
+    for n in names:
+        np.testing.assert_allclose(np.asarray(ref[n]), np.asarray(fb[n]), rtol=2e-6, atol=2e-6)

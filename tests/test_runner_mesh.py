@@ -128,8 +128,12 @@ def test_mesh_eval_matches_single_device(corpus, tmp_path):
             np.asarray(single["scores"][name]),
             rtol=2e-3, atol=1e-4,
         )
+    # the single-device step returns wav_out='first' (only utterance 0,
+    # all evaluate() reads when metrics are on-device — trainer.py); the
+    # mesh step keeps the full sharded batch. Compare the shared row.
+    assert single["wav_predicted"].shape[0] == 1
     np.testing.assert_allclose(
-        np.asarray(multi["wav_predicted"]),
+        np.asarray(multi["wav_predicted"])[:1],
         np.asarray(single["wav_predicted"]),
         atol=2e-4,
     )

@@ -70,6 +70,22 @@ def test_upstream_hidden_states_feed_head():
     assert out["wav_predicted"].shape == (2, 8000)
     assert np.isfinite(np.asarray(out["scores"]["sisdr"])).all()
 
+    # wav_out='first' keeps only utterance 0 of the waveform outputs
+    # (what the runner's media logging reads when all metrics are
+    # on-device) but scores the whole batch identically
+    ev1 = builder.eval_step_fn(wav_out="first")
+    out1 = ev1(s1.params, wavs, lengths)
+    assert out1["wav_predicted"].shape == (1, 8000)
+    assert out1["wav_inp"].shape[0] == 1 and out1["wav_tar"].shape[0] == 1
+    np.testing.assert_allclose(
+        np.asarray(out1["scores"]["sisdr"]),
+        np.asarray(out["scores"]["sisdr"]), rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["wav_predicted"][0]),
+        np.asarray(out["wav_predicted"][0]), rtol=1e-6,
+    )
+
 
 def test_weighted_sum_and_select_layer_options():
     pre = make_pre()
