@@ -16,9 +16,11 @@ Deviations from the ITU implementation, stated plainly:
 - bark band edges, band widths and hearing thresholds are generated
   analytically (Traunmüller bark warp + Terhardt threshold curve) instead
   of the ITU lookup tables;
-- no time-alignment search: this framework's enhancement pipeline is
-  sample-aligned by construction (iSTFT with the noisy phase preserves
-  timing), so delay estimation would be identity;
+- time alignment is a single global delay per utterance (envelope
+  cross-correlation, the coarse half of the ITU search) rather than the
+  full utterance-splitting + fine-alignment procedure; this framework's
+  own enhancement pipeline is sample-aligned by construction (iSTFT with
+  the noisy phase preserves timing), where the shift is the identity;
 - the receive-side IRS filter is a smooth analytic approximation of the
   IRS-receive magnitude response.
 
@@ -133,20 +135,65 @@ def _frames_power(x, C):
     return re * re + im * im  # (B, M, bins)
 
 
+def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
+    """Per-utterance delay estimate (samples), P.862-coarse-alignment
+    style: cross-correlate 4 ms energy envelopes via FFT and take the
+    argmax within +/- max_delay. Positive delay = deg lags ref."""
+    dec = 64  # 4 ms at 16 kHz
+    T = ref.shape[-1]
+    n = (T // dec) * dec
+    er = jnp.abs(ref[:, :n]).reshape(ref.shape[0], -1, dec).sum(-1)
+    ed = jnp.abs(deg[:, :n]).reshape(deg.shape[0], -1, dec).sum(-1)
+    er = er - er.mean(-1, keepdims=True)
+    ed = ed - ed.mean(-1, keepdims=True)
+    L = er.shape[-1]
+    nfft = 1 << (2 * L - 1).bit_length()
+    X = jnp.fft.rfft(er, nfft)
+    Y = jnp.fft.rfft(ed, nfft)
+    xc = jnp.fft.irfft(jnp.conj(X) * Y, nfft)  # xc[d] = sum er[t] ed[t+d... ]
+    md = max(max_delay // dec, 1)
+    # lags -md..md: negative lags live at nfft-|d|
+    lags = jnp.concatenate([jnp.arange(0, md + 1), jnp.arange(nfft - md, nfft)])
+    vals = xc[:, lags]
+    best = jnp.argmax(vals, axis=-1)
+    lag = jnp.where(best <= md, best, best - (2 * md + 1))
+    return lag * dec
+
+
+def _shift_back(x: jnp.ndarray, delay: jnp.ndarray):
+    """x[i, t] -> x[i, t + delay_i] (zero-padded): undo a per-utterance
+    lag so deg lines up with ref."""
+    T = x.shape[-1]
+    idx = jnp.arange(T)[None, :] + delay[:, None]
+    valid = (idx >= 0) & (idx < T)
+    return jnp.take_along_axis(x, jnp.clip(idx, 0, T - 1), axis=-1) * valid
+
+
 def pesq_batch(
     ref: jnp.ndarray,
     deg: jnp.ndarray,
     sample_rate: int = 16000,
     mode: str = "nb",
     lengths=None,
+    align: bool = True,
 ) -> jnp.ndarray:
-    """Batched MOS-LQO, (B, T) x (B, T) -> (B,)."""
+    """Batched MOS-LQO, (B, T) x (B, T) -> (B,).
+
+    align=True estimates one global delay per utterance (envelope
+    cross-correlation, the coarse half of P.862's alignment search;
+    +/- 500 ms range) and shifts the degraded signal before scoring.
+    This framework's own enhancement outputs are sample-aligned by
+    construction (delay 0, shift is the identity) — the search matters
+    when scoring externally produced audio pairs."""
     assert mode in ("nb", "wb")
     fs = sample_rate
     C = _model_consts(fs)
 
     ref = ref.astype(jnp.float32)
     deg = deg.astype(jnp.float32)
+    if align:
+        delay = _align_delay(ref, deg, max_delay=fs // 2)
+        deg = _shift_back(deg, delay)
     if lengths is not None:
         t_mask = jnp.arange(ref.shape[-1])[None, :] < lengths[:, None]
         ref = ref * t_mask

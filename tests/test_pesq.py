@@ -78,3 +78,32 @@ def test_reference_eval_api():
     nb = pesq_nb_eval(src, tar)
     wb = pesq_wb_eval(src, tar)
     assert 1.0 <= nb <= 5.0 and 1.0 <= wb <= 5.0
+
+
+def test_pesq_time_alignment():
+    """P.862 aligns the pair before scoring: a bulk delay on the degraded
+    signal must not crater the score (pesq_jax._align_delay estimates one
+    global delay per utterance from envelope cross-correlation)."""
+    from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import _align_delay
+
+    rng = np.random.default_rng(5)
+    x = _speechlike(rng, 48000)
+    y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 25.0)
+    shift = 1600  # 100 ms
+    y_late = np.zeros_like(y)
+    y_late[shift:] = y[:-shift]
+
+    ref = jnp.asarray(np.stack([x, x]))
+    deg = jnp.asarray(np.stack([y, y_late]))
+    d = np.asarray(_align_delay(ref, deg, max_delay=8000))
+    assert abs(int(d[0])) <= 64
+    assert abs(int(d[1]) - shift) <= 64, d
+
+    aligned = np.asarray(pesq_batch(ref, deg, mode="nb", align=True))
+    raw = np.asarray(pesq_batch(ref, deg, mode="nb", align=False))
+    # sample-aligned pair: the search is (near-)identity
+    assert abs(aligned[0] - raw[0]) < 0.05
+    # shifted pair: alignment recovers most of the un-shifted score,
+    # the unaligned score craters
+    assert aligned[1] > raw[1] + 0.5, (aligned, raw)
+    assert abs(aligned[1] - aligned[0]) < 0.3, aligned
