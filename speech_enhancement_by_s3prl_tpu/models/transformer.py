@@ -91,6 +91,11 @@ def normal_init(stddev):
 class SelfAttention(nn.Module):
     config: TransformerConfig
     compute_dtype: Any = jnp.float32
+    # sequence parallelism: when set, __call__ runs inside a shard_map
+    # whose time axis is sharded over this mesh axis — Q stays local to
+    # the chunk, K/V are all-gathered over the axis so every position
+    # still attends to the full sequence (parallel/sequence.py)
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, hidden, attn_mask=None, deterministic=True):
@@ -106,6 +111,11 @@ class SelfAttention(nn.Module):
             dtype=dt,
         )(hidden)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.seq_axis is not None:
+            # one all-gather per layer rides ICI; K/V are O(T*H) which at
+            # this model's <=1001 frames is tiny next to the FFN matmuls
+            k = jax.lax.all_gather(k, self.seq_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.seq_axis, axis=1, tiled=True)
 
         def heads(x):
             b, t, _ = x.shape
@@ -140,12 +150,13 @@ class SelfAttention(nn.Module):
 class TransformerLayer(nn.Module):
     config: TransformerConfig
     compute_dtype: Any = jnp.float32
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, hidden, attn_mask=None, deterministic=True):
         c = self.config
         dt = self.compute_dtype
-        attn_out = SelfAttention(c, dt, name="attention")(
+        attn_out = SelfAttention(c, dt, self.seq_axis, name="attention")(
             hidden, attn_mask, deterministic
         )
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_ln")(
@@ -183,6 +194,10 @@ class TransformerEncoder(nn.Module):
     compute_dtype: Any = jnp.float32
     max_positions: int = 5001
     remat: bool = False  # rematerialize layers (memory <-> FLOPs trade)
+    # sequence parallelism (parallel/sequence.py): the module then runs
+    # inside shard_map on a time CHUNK — positions are offset by the
+    # device's axis index and attention gathers K/V over the axis
+    seq_axis: Any = None
 
     @nn.compact
     def __call__(self, spec, deterministic=True, output_all_layers=False):
@@ -202,7 +217,14 @@ class TransformerEncoder(nn.Module):
         pe = jnp.asarray(
             sinusoidal_position_encoding(self.max_positions, c.hidden_size)
         )
-        hidden = hidden + pe[None, : hidden.shape[1]]
+        t_local = hidden.shape[1]
+        if self.seq_axis is not None:
+            offset = jax.lax.axis_index(self.seq_axis) * t_local
+            hidden = hidden + jax.lax.dynamic_slice_in_dim(
+                pe, offset, t_local, axis=0
+            )[None]
+        else:
+            hidden = hidden + pe[None, :t_local]
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="input_ln")(hidden)
         hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
 
@@ -213,15 +235,17 @@ class TransformerEncoder(nn.Module):
         )
         all_layers = []
         if c.share_layer:
-            layer = layer_cls(c, self.compute_dtype, name="layer_shared")
+            layer = layer_cls(
+                c, self.compute_dtype, self.seq_axis, name="layer_shared"
+            )
             for _ in range(c.num_hidden_layers):
                 hidden = layer(hidden, None, deterministic)
                 all_layers.append(hidden)
         else:
             for i in range(c.num_hidden_layers):
-                hidden = layer_cls(c, self.compute_dtype, name=f"layer_{i}")(
-                    hidden, None, deterministic
-                )
+                hidden = layer_cls(
+                    c, self.compute_dtype, self.seq_axis, name=f"layer_{i}"
+                )(hidden, None, deterministic)
                 all_layers.append(hidden)
 
         if output_all_layers:
