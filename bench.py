@@ -57,9 +57,9 @@ def main():
     # per-mode HBM sweet spots measured on v5e (docs/PERF.md): enhance
     # peaks at 768; the eval step (enhance + metrics) OOMs at 768 and
     # peaks at 640; train peaks at 128 (256 needs remat and still loses)
-    default_batch = {"enhance": "768", "eval": "640", "train": "128"}.get(
-        mode, "768"
-    )
+    default_batch = {
+        "enhance": "768", "eval": "640", "train": "128", "upstream": "512",
+    }.get(mode, "768")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
     # slow and must not pollute the compute measurement

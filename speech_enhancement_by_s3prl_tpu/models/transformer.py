@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -123,18 +124,31 @@ class SelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if attn_mask is not None:
-            logits = logits + attn_mask
-        probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-        probs = nn.Dropout(c.attention_probs_dropout_prob)(
-            probs, deterministic=deterministic
+        # fused attention (jax.nn.dot_product_attention): same math, but
+        # XLA lowers it without materializing the (B, N, T, T) probability
+        # tensor round-trip the naive path pays — the attention dropout
+        # path needs explicit probs, so training with attention dropout
+        # falls back. SE_ATTN_IMPL=naive forces the explicit path.
+        drops_attn = (
+            not deterministic and c.attention_probs_dropout_prob > 0.0
         )
-        ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
-        )
+        if not drops_attn and os.environ.get("SE_ATTN_IMPL", "fused") != "naive":
+            ctx = jax.nn.dot_product_attention(
+                q, k, v, bias=attn_mask, scale=scale
+            )
+        else:
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if attn_mask is not None:
+                logits = logits + attn_mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(dt)
+            probs = nn.Dropout(c.attention_probs_dropout_prob)(
+                probs, deterministic=deterministic
+            )
+            ctx = jnp.einsum(
+                "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+            )
         b, t = ctx.shape[:2]
         ctx = ctx.reshape(b, t, c.hidden_size)
         out = nn.Dense(

@@ -163,3 +163,34 @@ def test_encoder_all_layers_and_downsample():
     params = enc.init(jax.random.PRNGKey(0), x)
     all_layers = enc.apply(params, x, output_all_layers=True)
     assert all_layers.shape == (2, 1, 5, 16)  # stacked frames: T 10 -> 5
+
+
+def test_fused_attention_matches_naive(monkeypatch):
+    """jax.nn.dot_product_attention path (default) reproduces the explicit
+    einsum+softmax path (SE_ATTN_IMPL=naive) — same math, different
+    lowering (no materialized (B, N, T, T) probability round-trip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_enhancement_by_s3prl_tpu.models.transformer import (
+        TransformerConfig,
+        TransformerEncoder,
+    )
+
+    cfg = TransformerConfig(
+        input_dim=24, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=6, intermediate_size=96,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    enc = TransformerEncoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    spec = jax.random.normal(jax.random.PRNGKey(1), (3, 50, 24), jnp.float32)
+    p = enc.init({"params": rng, "dropout": rng}, spec)["params"]
+    monkeypatch.delenv("SE_ATTN_IMPL", raising=False)
+    fused = enc.apply({"params": p}, spec, deterministic=True)
+    monkeypatch.setenv("SE_ATTN_IMPL", "naive")
+    naive = enc.apply({"params": p}, spec, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(naive), atol=2e-5
+    )
