@@ -55,10 +55,11 @@ def main():
     T = sr * utt_sec
     mode = os.environ.get("BENCH_MODE", "enhance")
     # per-mode HBM sweet spots measured on v5e (docs/PERF.md): enhance
-    # peaks at 768; the eval step (enhance + metrics) OOMs at 768 and
-    # peaks at 640; train peaks at 128 (256 needs remat and still loses)
+    # peaks at 768; eval reaches 768 too now that wav_out='first' +
+    # chunked metric kernels freed the buffers that used to OOM it;
+    # train peaks at 128 (144/160/256-remat all lose); upstream at 512
     default_batch = {
-        "enhance": "768", "eval": "640", "train": "128", "upstream": "512",
+        "enhance": "768", "eval": "768", "train": "128", "upstream": "512",
     }.get(mode, "768")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is

@@ -82,12 +82,20 @@ def main():
     if not args.device:
         # metrics are tiny — never claim the (single-client) TPU for them
         jax.config.update("jax_platforms", "cpu")
-    from speech_enhancement_by_s3prl_tpu.metrics import (
-        estoi_eval,
-        pesq_nb_eval,
-        pesq_wb_eval,
-        stoi_eval,
-    )
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.metrics import estoi_eval, stoi_eval
+    # call the JAX P.862 model DIRECTLY: pesq_nb_eval/pesq_wb_eval
+    # auto-route to the ITU wheel when importable, which would make the
+    # "jax" column identical to the external one in exactly the
+    # environment where deltas are supposed to be measured
+    from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import pesq_batch
+
+    def jax_pesq(deg, clean, mode):
+        return float(
+            pesq_batch(jnp.asarray(clean)[None], jnp.asarray(deg)[None],
+                       SR, mode=mode)[0]
+        )
 
     try:
         from pesq import pesq as itu_pesq
@@ -105,8 +113,8 @@ def main():
     for name, clean, deg in battery():
         row = {"name": name}
         row["jax"] = {
-            "pesq_nb": round(pesq_nb_eval(deg, clean), 4),
-            "pesq_wb": round(pesq_wb_eval(deg, clean), 4),
+            "pesq_nb": round(jax_pesq(deg, clean, "nb"), 4),
+            "pesq_wb": round(jax_pesq(deg, clean, "wb"), 4),
             "stoi": round(stoi_eval(deg, clean), 5),
             "estoi": round(estoi_eval(deg, clean), 5),
         }

@@ -191,9 +191,9 @@ def pesq_batch(
 
     ref = ref.astype(jnp.float32)
     deg = deg.astype(jnp.float32)
-    if align:
-        delay = _align_delay(ref, deg, max_delay=fs // 2)
-        deg = _shift_back(deg, delay)
+    # mask BEFORE the alignment search: padding past `lengths` must not
+    # feed the envelope cross-correlation (it could vote a spurious delay
+    # that then shifts valid content)
     if lengths is not None:
         t_mask = jnp.arange(ref.shape[-1])[None, :] < lengths[:, None]
         ref = ref * t_mask
@@ -201,6 +201,11 @@ def pesq_batch(
         frame_len_limit = (lengths - C["n_frame"]) // C["hop"] + 1
     else:
         frame_len_limit = None
+    if align:
+        delay = _align_delay(ref, deg, max_delay=fs // 2)
+        deg = _shift_back(deg, delay)
+        if lengths is not None:
+            deg = deg * t_mask
 
     P_ref = _frames_power(ref, C)
     P_deg = _frames_power(deg, C)

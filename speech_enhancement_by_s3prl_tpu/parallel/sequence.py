@@ -44,11 +44,11 @@ def make_seq_mesh(
     return Mesh(arr, axis_names=("data", "seq"))
 
 
-def sequence_parallel_encoder(encoder, params, mesh: Mesh):
+def sequence_parallel_encoder(encoder, mesh: Mesh):
     """Build a jitted sequence-parallel forward for a TransformerEncoder.
 
-    Returns ``fn(params, spec (B, T, D)) -> (B, T', H)`` where B divides
-    the 'data' axis and T divides ``seq * downsample_rate``. The module is
+    Returns ``fn(params, spec (B, T, D)) -> (B, T', H)`` where the 'data'
+    axis divides B and ``seq * downsample_rate`` divides T. The module is
     re-instantiated with ``seq_axis='seq'`` (same param tree — the axis
     changes collectives, not parameters).
     """
@@ -77,11 +77,18 @@ def sequence_parallel_encoder(encoder, params, mesh: Mesh):
         seq = mesh.shape["seq"]
         dr = max(1, getattr(encoder.config, "downsample_rate", 1))
         assert spec.shape[0] % mesh.shape["data"] == 0, (
-            f"batch {spec.shape[0]} must divide data axis {mesh.shape['data']}"
+            f"data axis {mesh.shape['data']} must divide batch {spec.shape[0]}"
         )
         assert spec.shape[1] % (seq * dr) == 0, (
-            f"time {spec.shape[1]} must divide seq*downsample {seq * dr} "
+            f"seq*downsample {seq * dr} must divide time {spec.shape[1]} "
             "(pad frames to a multiple first)"
+        )
+        # the per-shard PE slice (offset by axis index) would silently
+        # CLAMP past the table where the unsharded path fails loudly —
+        # check the global length here at trace time instead
+        assert spec.shape[1] // dr <= encoder.max_positions, (
+            f"{spec.shape[1] // dr} encoder positions exceed the "
+            f"position-encoding table ({encoder.max_positions})"
         )
         return sharded(p, spec)
 

@@ -175,7 +175,7 @@ class Runner:
         # reads utterance 0 of the returned waveforms (media logging) —
         # return just that row and free three full-batch output buffers
         # (trainer.eval_step_raw docstring; docs/PERF.md eval table)
-        needs_full_wavs = any(
+        needs_full_wavs = not getattr(self.args, "no_metric", False) and any(
             m not in device_batch_metrics() for m in self.metric_names
         )
         self.eval_step = self.builder.eval_step_fn(

@@ -36,7 +36,7 @@ def test_sequence_parallel_matches_single_device(data, seq):
     ref = enc.apply({"params": params}, spec, deterministic=True)
 
     mesh = make_seq_mesh(data * seq, seq_parallel=seq)
-    fn = sequence_parallel_encoder(enc, params, mesh)
+    fn = sequence_parallel_encoder(enc, mesh)
     out = fn(params, spec)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
@@ -51,7 +51,7 @@ def test_sequence_parallel_with_downsample_rate():
 
     ref = enc.apply({"params": params}, spec, deterministic=True)
     mesh = make_seq_mesh(4, seq_parallel=4)  # 48 frames / (4*2) = 6 per shard
-    fn = sequence_parallel_encoder(enc, params, mesh)
+    fn = sequence_parallel_encoder(enc, mesh)
     out = fn(params, spec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
@@ -72,6 +72,6 @@ def test_sequence_parallel_rejects_indivisible_time():
     spec = jax.random.normal(jax.random.PRNGKey(3), (2, 42, 16), jnp.float32)
     params = enc.init({"params": rng, "dropout": rng}, spec)["params"]
     mesh = make_seq_mesh(4, seq_parallel=4)
-    fn = sequence_parallel_encoder(enc, params, mesh)
+    fn = sequence_parallel_encoder(enc, mesh)
     with pytest.raises(AssertionError):
         fn(params, spec)
