@@ -60,6 +60,7 @@ def main():
     # train peaks at 128 (144/160/256-remat all lose); upstream at 512
     default_batch = {
         "enhance": "768", "eval": "768", "train": "128", "upstream": "512",
+        "mockingjay": "32",
     }.get(mode, "768")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
@@ -134,6 +135,53 @@ def main():
         audio_seconds = batch * utt_sec * iters
         print(json.dumps({
             "metric": "upstream_audio_rtf_per_chip",
+            "value": round(audio_seconds / dt, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+        }))
+        return
+
+    if os.environ.get("BENCH_MODE", "enhance") == "mockingjay":
+        # joint upstream finetuning (BASELINE config 4 workload): the full
+        # TERA encoder (6 x 768 x 12) + SpecPredictionHead trained
+        # end-to-end as ONE downstream model (--downstream Mockingjay),
+        # dropout live — forward + backward + BertAdam per step
+        import dataclasses
+
+        from speech_enhancement_by_s3prl_tpu.models.spec_head import (
+            Mockingjay,
+        )
+        from speech_enhancement_by_s3prl_tpu.models.transformer import (
+            TransformerConfig,
+        )
+
+        base = graft._build(delta=1)
+        model = Mockingjay(
+            output_size=201, config=TransformerConfig(input_dim=80),
+            compute_dtype=(
+                jnp.bfloat16
+                if os.environ.get("BENCH_DTYPE", "f32") in ("bf16", "bfloat16")
+                else jnp.float32
+            ),
+        )
+        builder = dataclasses.replace(
+            base, model=model, from_waveform=True, from_rawfeature=False
+        )
+        rng = jax.random.PRNGKey(0)
+        state = builder.init_state(rng, wavs[:2], lengths[:2])
+        step = builder.train_step_fn()
+        state, stats = step(state, wavs, lengths, rng)  # compile + warmup
+        float(stats["loss"])
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            state, stats = step(state, wavs, lengths, rng)
+            float(stats["loss"])
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * iters
+        audio_seconds = batch * utt_sec * iters
+        print(json.dumps({
+            "metric": "mockingjay_train_audio_rtf_per_chip",
             "value": round(audio_seconds / dt, 2),
             "unit": "x_realtime",
             "vs_baseline": round((audio_seconds / dt) / 10.0, 3),

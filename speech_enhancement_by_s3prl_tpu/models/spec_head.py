@@ -61,15 +61,16 @@ class Mockingjay(nn.Module):
     log_domain: bool = True
     activation: str = "ReLU"
     eps: float = 1e-6
+    compute_dtype: Any = jnp.float32  # bf16 finetune: f32 LN/accumulation
 
     @nn.compact
     def __call__(
         self, features, linears=None, deterministic=True, **kwargs
     ) -> Tuple[jnp.ndarray, Aux]:
         cfg = self.config or TransformerConfig()
-        hidden = TransformerEncoder(cfg, name="mockingjay")(
-            features, deterministic=deterministic
-        )
+        hidden = TransformerEncoder(
+            cfg, compute_dtype=self.compute_dtype, name="mockingjay"
+        )(features, deterministic=deterministic)
         raw, _ = TransformerSpecPredictionHead(cfg, self.output_size, name="spechead")(
             hidden
         )
