@@ -82,8 +82,10 @@ class MicroBatcher:
                     ev.set()
 
 
-def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
-                   mesh_n: int = 0):
+def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float):
+    """Checkpoint -> (params, enhance_raw(params, wavs (B,T), lengths),
+    buckets). Shared by the live server and the artifact exporter
+    (scripts/export_model.py)."""
     import jax
 
     from speech_enhancement_by_s3prl_tpu.utils.config import (
@@ -142,6 +144,20 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
         wav = jnp.pad(wav, ((0, 0), (0, max(pad, 0))))[:, : wavs.shape[-1]]
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, target_level, masks)
+
+    return params, _enhance_raw, buckets
+
+
+def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
+                   mesh_n: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
+
+    params, _enhance_raw, buckets = build_raw_enhancer(
+        ckpt, sample_rate, target_level
+    )
 
     batch_round = 1
     if mesh_n:
@@ -241,9 +257,59 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
     return enhance
 
 
+def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
+    """Serve from a `jax.export` deployment artifact
+    (scripts/export_model.py): weights + program baked into portable
+    StableHLO — no checkpoint and no framework model code on the serving
+    host. Same callable interface as build_enhancer (single-device; the
+    artifact's symbolic batch dimension serves any micro-batch size)."""
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
+    from speech_enhancement_by_s3prl_tpu.ops.streaming import (
+        enhance_streaming,
+    )
+    from speech_enhancement_by_s3prl_tpu.utils.export_artifact import (
+        load_enhance,
+    )
+
+    fns = load_enhance(artifact_dir)
+    buckets = sorted(fns)
+
+    def _run_batch(wavs) -> list:
+        T = bucket_length(max(len(w) for w in wavs), buckets)
+        batch = np.zeros((len(wavs), T), np.float32)
+        lens = np.empty((len(wavs),), np.int64)
+        for k, w in enumerate(wavs):
+            batch[k, : len(w)] = w
+            lens[k] = len(w)
+        out = np.asarray(fns[T](jnp.asarray(batch), jnp.asarray(lens)))
+        return [out[k, : len(w)] for k, w in enumerate(wavs)]
+
+    def _single(wav: np.ndarray) -> np.ndarray:
+        return _run_batch([wav])[0]
+
+    def enhance(wav: np.ndarray) -> np.ndarray:
+        if len(wav) <= buckets[-1]:
+            return _single(wav)
+        return enhance_streaming(
+            _single, wav, sample_rate=sample_rate,
+            window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
+        )
+
+    enhance.run_batch = _run_batch
+    enhance.batch_round = 1
+    enhance.max_len = buckets[-1]
+    return enhance
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--ckpt", default="",
+                    help="training checkpoint to serve (or use --artifact)")
+    ap.add_argument("--artifact", default="",
+                    help="serve a jax.export deployment artifact directory "
+                         "(scripts/export_model.py) instead of a checkpoint")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--sample_rate", type=int, default=16000)
@@ -282,9 +348,17 @@ def main():
         write_wav,
     )
 
-    enhance = build_enhancer(
-        args.ckpt, args.sample_rate, args.target_level, mesh_n=mesh_n
+    artifact = getattr(args, "artifact", "")
+    assert bool(getattr(args, "ckpt", "")) != bool(artifact), (
+        "pass exactly one of --ckpt / --artifact"
     )
+    if artifact:
+        assert not mesh_n, "--artifact serving is single-device (no --mesh)"
+        enhance = build_artifact_enhancer(artifact, args.sample_rate)
+    else:
+        enhance = build_enhancer(
+            args.ckpt, args.sample_rate, args.target_level, mesh_n=mesh_n
+        )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))
     batcher = (
