@@ -30,6 +30,11 @@ def main():
     # framework's training default stays f32. MUST be set before ANY
     # package import (models/lstm.py reads it at import time).
     os.environ.setdefault("SE_LSTM_XW_BF16", "1")
+    # the scan-unroll sweet spot is per-PROGRAM: 4 wins for enhance/train,
+    # but the sampler's vmap(grad) scoring program measures best at 8
+    # (docs/PERF.md score section). Must be set before package import too.
+    if os.environ.get("BENCH_MODE") == "score":
+        os.environ.setdefault("SE_LSTM_UNROLL", "8")
 
     import jax
 
@@ -60,7 +65,7 @@ def main():
     # train peaks at 128 (144/160/256-remat all lose); upstream at 512
     default_batch = {
         "enhance": "768", "eval": "768", "train": "128", "upstream": "512",
-        "mockingjay": "32",
+        "mockingjay": "32", "score": "128",
     }.get(mode, "768")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
