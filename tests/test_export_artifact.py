@@ -72,3 +72,78 @@ def test_artifact_symbolic_batch(exported):
     for w, o in zip(wavs, outs):
         assert o.shape == w.shape
         np.testing.assert_allclose(o, live(w), atol=1e-5)
+
+
+def test_artifact_http_serving(exported, tmp_path):
+    """serve.py --artifact end to end over HTTP: export dir -> server
+    thread -> POST wav -> enhanced wav (no checkpoint on the serving
+    path)."""
+    import argparse
+    import io
+    import threading
+    import time
+    import urllib.request
+    import wave as wavelib
+    from http.server import HTTPServer
+
+    import serve
+
+    art_dir, live, _ = exported
+
+    class Args(argparse.Namespace):
+        ckpt = ""
+        artifact = art_dir
+        host = "127.0.0.1"
+        port = 0
+        sample_rate = 16000
+        target_level = -25.0
+        cpu = True
+        workers = 1
+        mesh = 0
+        max_batch = 16
+        batch_window_ms = 3.0
+
+    holder = {}
+    real_parse = argparse.ArgumentParser.parse_args
+    real_serve = HTTPServer.serve_forever
+
+    def capture_serve(self):
+        holder["server"] = self
+        real_serve(self)
+
+    argparse.ArgumentParser.parse_args = lambda self, *a, **k: Args()
+    HTTPServer.serve_forever = capture_serve
+    try:
+        t = threading.Thread(target=serve.main, daemon=True)
+        t.start()
+        for _ in range(600):
+            if "server" in holder:
+                break
+            time.sleep(0.5)
+        assert "server" in holder, "artifact server did not start"
+        host, port = holder["server"].server_address
+
+        rng = np.random.default_rng(2)
+        n = 10000
+        wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        pcm = np.rint(np.clip(wav * 32767.0, -32768, 32767)).astype("<i2")
+        buf = io.BytesIO()
+        with wavelib.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        req = urllib.request.Request(
+            f"http://{host}:{port}/enhance", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = r.read()
+        with wavelib.open(io.BytesIO(out)) as w:
+            frames = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        assert len(frames) == n and np.abs(frames).max() > 0
+    finally:
+        argparse.ArgumentParser.parse_args = real_parse
+        HTTPServer.serve_forever = real_serve
+        if "server" in holder:
+            holder["server"].shutdown()
