@@ -44,6 +44,10 @@ def main():
     )
     if args.max_sec:
         buckets = [t for t in buckets if t <= args.max_sec * args.sample_rate]
+        if not buckets:
+            ap.error(
+                f"--max_sec {args.max_sec} excludes every serving bucket"
+            )
     paths = export_enhance(
         enhance_raw, params, buckets, args.out,
         sample_rate=args.sample_rate,

@@ -148,12 +148,58 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float):
     return params, _enhance_raw, buckets
 
 
+def _pad_group(wavs, buckets, batch_round: int = 1):
+    """Pad a request group to ONE static device shape: common duration
+    bucket, row count rounded up to a power of two (bounds compiled
+    shapes per bucket) and to a multiple of batch_round (sharded batches
+    must divide evenly). Extra rows repeat row 0 and are discarded by the
+    caller. Returns (batch (n, T) f32, lens (n,) i32) — i32 matches the
+    exported-artifact signature regardless of JAX_ENABLE_X64."""
+    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
+
+    T = bucket_length(max(len(w) for w in wavs), buckets)
+    n = max(1, 1 << (len(wavs) - 1).bit_length())
+    n = -(-n // batch_round) * batch_round
+    batch = np.zeros((n, T), np.float32)
+    lens = np.empty((n,), np.int32)
+    for k, w in enumerate(wavs):
+        batch[k, : len(w)] = w
+        lens[k] = len(w)
+    batch[len(wavs):] = batch[0]
+    lens[len(wavs):] = lens[0]
+    return batch, lens
+
+
+def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1):
+    """Wrap a padded-group runner into the serving interface: single-
+    utterance entry + crossfaded streaming for unbounded-length inputs."""
+    from speech_enhancement_by_s3prl_tpu.ops.streaming import (
+        enhance_streaming,
+    )
+
+    def _single(wav: np.ndarray) -> np.ndarray:
+        return run_batch([wav])[0]
+
+    def enhance(wav: np.ndarray) -> np.ndarray:
+        if len(wav) <= buckets[-1]:
+            return _single(wav)
+        # unbounded-length requests: fixed windows + cosine crossfade keep
+        # shapes static (no recompiles) and memory constant
+        return enhance_streaming(
+            _single, wav, sample_rate=sample_rate,
+            window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
+        )
+
+    enhance.run_batch = run_batch
+    enhance.batch_round = batch_round
+    enhance.max_len = buckets[-1]
+    return enhance
+
+
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
                    mesh_n: int = 0):
     import jax
     import jax.numpy as jnp
-
-    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
 
     params, _enhance_raw, buckets = build_raw_enhancer(
         ckpt, sample_rate, target_level
@@ -212,63 +258,28 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
         return _aot[T]
 
     def _run_batch(wavs) -> list:
-        """Enhance a group of utterances as ONE device batch: pad to the
-        common duration bucket; round the row count up to a power of two
-        (bounds compiled shapes per bucket) and to a multiple of the mesh
-        size (sharded batches must divide evenly). Extra rows repeat row 0
-        and are discarded."""
-        T = bucket_length(max(len(w) for w in wavs), buckets)
-        n = max(1, 1 << (len(wavs) - 1).bit_length())
-        n = -(-n // batch_round) * batch_round
-        if n == 1 and use_aot:
-            fn = _enhance_fn(T)
+        batch, lens = _pad_group(wavs, buckets, batch_round)
+        if batch.shape[0] == 1 and use_aot:
+            fn = _enhance_fn(batch.shape[1])
         else:
             fn = _enhance
-        batch = np.zeros((n, T), np.float32)
-        lens = np.empty((n,), np.int64)
-        for k, w in enumerate(wavs):
-            batch[k, : len(w)] = w
-            lens[k] = len(w)
-        batch[len(wavs):] = batch[0]
-        lens[len(wavs):] = lens[0]
         out = np.asarray(fn(params, jnp.asarray(batch), jnp.asarray(lens)))
         return [out[k, : len(w)] for k, w in enumerate(wavs)]
 
-    def _single(wav: np.ndarray) -> np.ndarray:
-        return _run_batch([wav])[0]
-
-    def enhance(wav: np.ndarray) -> np.ndarray:
-        if len(wav) <= buckets[-1]:
-            return _single(wav)
-        # unbounded-length requests: fixed windows + cosine crossfade keep
-        # shapes static (no recompiles) and memory constant
-        from speech_enhancement_by_s3prl_tpu.ops.streaming import (
-            enhance_streaming,
-        )
-
-        return enhance_streaming(
-            _single, wav, sample_rate=sample_rate,
-            window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
-        )
-
-    enhance.run_batch = _run_batch
-    enhance.batch_round = batch_round
-    enhance.max_len = buckets[-1]
-    return enhance
+    return _finish_enhancer(_run_batch, buckets, sample_rate, batch_round)
 
 
 def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
     """Serve from a `jax.export` deployment artifact
     (scripts/export_model.py): weights + program baked into portable
     StableHLO — no checkpoint and no framework model code on the serving
-    host. Same callable interface as build_enhancer (single-device; the
-    artifact's symbolic batch dimension serves any micro-batch size)."""
+    host. Same callable interface as build_enhancer (single-device). The
+    artifact's batch dimension is symbolic, so the power-of-two group
+    rounding in _pad_group needs no per-size re-serialization — but XLA
+    still compiles one executable per concrete shape, so the rounding
+    matters just as much here to bound compile churn under micro-batching."""
     import jax.numpy as jnp
 
-    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
-    from speech_enhancement_by_s3prl_tpu.ops.streaming import (
-        enhance_streaming,
-    )
     from speech_enhancement_by_s3prl_tpu.utils.export_artifact import (
         load_enhance,
     )
@@ -277,30 +288,13 @@ def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
     buckets = sorted(fns)
 
     def _run_batch(wavs) -> list:
-        T = bucket_length(max(len(w) for w in wavs), buckets)
-        batch = np.zeros((len(wavs), T), np.float32)
-        lens = np.empty((len(wavs),), np.int64)
-        for k, w in enumerate(wavs):
-            batch[k, : len(w)] = w
-            lens[k] = len(w)
-        out = np.asarray(fns[T](jnp.asarray(batch), jnp.asarray(lens)))
+        batch, lens = _pad_group(wavs, buckets)
+        out = np.asarray(
+            fns[batch.shape[1]](jnp.asarray(batch), jnp.asarray(lens))
+        )
         return [out[k, : len(w)] for k, w in enumerate(wavs)]
 
-    def _single(wav: np.ndarray) -> np.ndarray:
-        return _run_batch([wav])[0]
-
-    def enhance(wav: np.ndarray) -> np.ndarray:
-        if len(wav) <= buckets[-1]:
-            return _single(wav)
-        return enhance_streaming(
-            _single, wav, sample_rate=sample_rate,
-            window_sec=buckets[-1] / sample_rate, overlap_sec=1.0,
-        )
-
-    enhance.run_batch = _run_batch
-    enhance.batch_round = 1
-    enhance.max_len = buckets[-1]
-    return enhance
+    return _finish_enhancer(_run_batch, buckets, sample_rate)
 
 
 def main():
@@ -349,9 +343,9 @@ def main():
     )
 
     artifact = getattr(args, "artifact", "")
-    assert bool(getattr(args, "ckpt", "")) != bool(artifact), (
-        "pass exactly one of --ckpt / --artifact"
-    )
+    if bool(getattr(args, "ckpt", "")) == bool(artifact):
+        # not an assert: must hold under python -O too
+        ap.error("pass exactly one of --ckpt / --artifact")
     if artifact:
         assert not mesh_n, "--artifact serving is single-device (no --mesh)"
         enhance = build_artifact_enhancer(artifact, args.sample_rate)

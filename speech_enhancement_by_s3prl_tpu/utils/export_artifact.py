@@ -30,16 +30,20 @@ def export_enhance(
     bucket_samples: Sequence[int],
     out_dir: str,
     sample_rate: int = 16000,
-    channels: int = 0,
+    platforms: Sequence[str] = ("cpu", "tpu"),
 ) -> Dict[int, str]:
-    """Serialize ``enhance_fn(params, wavs, lengths (B,))`` for each
-    bucket length with symbolic batch; ``wavs`` is (B, T) when
-    ``channels`` == 0 (the serving contract) else (B, channels, T).
-    Returns {T: path}."""
+    """Serialize ``enhance_fn(params, wavs (B, T), lengths (B,))`` for
+    each bucket length with symbolic batch. Returns {T: path}.
+
+    ``platforms`` makes the StableHLO multi-platform: without it the
+    artifact would be locked to the EXPORTING machine's backend (jax
+    refuses to run a cpu-exported program on tpu) — defaulting to both is
+    what makes "export on a CPU box, deploy to a TPU host" work."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
+    assert bucket_samples, "no duration buckets to export"
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     for T in bucket_samples:
@@ -48,12 +52,11 @@ def export_enhance(
             return enhance_fn(params, wavs, lengths)
 
         (b,) = jexport.symbolic_shape("b")
-        wav_shape = (b, T) if channels == 0 else (b, channels, T)
         args = (
-            jax.ShapeDtypeStruct(wav_shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, T), jnp.float32),
             jax.ShapeDtypeStruct((b,), jnp.int32),
         )
-        exp = jexport.export(jax.jit(fn))(*args)
+        exp = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
         path = os.path.join(out_dir, f"enhance_T{T}.jaxexp")
         with open(path, "wb") as f:
             f.write(exp.serialize())
@@ -63,6 +66,7 @@ def export_enhance(
             {
                 "sample_rate": sample_rate,
                 "buckets": sorted(int(t) for t in bucket_samples),
+                "platforms": list(platforms),
                 "format": "jax.export StableHLO, symbolic batch",
             },
             f,
