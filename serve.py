@@ -280,10 +280,16 @@ def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
     matters just as much here to bound compile churn under micro-batching."""
     import jax.numpy as jnp
 
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
     from speech_enhancement_by_s3prl_tpu.utils.export_artifact import (
         load_enhance,
     )
 
+    # deserialized programs still compile per concrete shape — let the
+    # persistent cache absorb that across serving processes (TPU only)
+    setup_compile_cache()
     fns = load_enhance(artifact_dir)
     buckets = sorted(fns)
 

@@ -147,3 +147,34 @@ def test_artifact_http_serving(exported, tmp_path):
         HTTPServer.serve_forever = real_serve
         if "server" in holder:
             holder["server"].shutdown()
+
+
+def test_enhance_cli_with_artifact(exported, tmp_path, monkeypatch):
+    """enhance.py --artifact: batch file CLI over a deployment artifact."""
+    import subprocess
+    import sys as _sys
+
+    from speech_enhancement_by_s3prl_tpu.data.audio_io import (
+        read_audio,
+        write_wav,
+    )
+
+    art_dir, live, _ = exported
+    indir = tmp_path / "noisy"
+    indir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        write_wav(str(indir / f"n{i}.wav"),
+                  (0.1 * rng.standard_normal(9000)).astype(np.float32), 16000)
+    outdir = tmp_path / "out"
+    r = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "enhance.py"),
+         "--artifact", art_dir, "--inputs", str(indir),
+         "--outdir", str(outdir), "--cpu"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for i in range(3):
+        wav, sr = read_audio(str(outdir / f"n{i}.wav"))
+        assert sr == 16000 and wav.shape[-1] == 9000
+        assert np.isfinite(wav).all() and np.abs(wav).max() > 0
