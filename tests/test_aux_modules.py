@@ -1,0 +1,56 @@
+"""Direct coverage for the small auxiliary modules: exec-cache keying,
+multi-host init wrapper, spectrogram figure helpers."""
+import numpy as np
+
+
+def test_exec_cache_key_varies_with_signature_and_env(tmp_path, monkeypatch):
+    """Cache keys must distinguish shapes/dtypes and fn_key — loading an
+    executable for the wrong signature would abort the process."""
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.ops.pallas import exec_cache
+
+    a = jnp.zeros((2, 3), jnp.float32)
+    b = jnp.zeros((2, 4), jnp.float32)
+    k1 = exec_cache._key("f", (a,), {})
+    assert k1 == exec_cache._key("f", (a,), {})  # deterministic
+    assert k1 != exec_cache._key("f", (b,), {})  # shape
+    assert k1 != exec_cache._key("f", (a.astype(jnp.bfloat16),), {})  # dtype
+    assert k1 != exec_cache._key("g", (a,), {})  # fn identity
+    assert k1 != exec_cache._key("f", (), {"x": a})  # tree structure
+
+    monkeypatch.setenv("SE_EXEC_CACHE_DIR", str(tmp_path / "c"))
+    assert str(tmp_path / "c") == exec_cache._cache_dir()
+
+
+def test_initialize_distributed_single_process_noop(monkeypatch):
+    """Without coordinator env vars this is a documented no-op — the CLI
+    calls it unconditionally behind --mesh."""
+    from speech_enhancement_by_s3prl_tpu.parallel.distributed import (
+        initialize_distributed,
+        topology_summary,
+    )
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_distributed() is False
+
+    s = topology_summary()
+    assert "process 0/1" in s and "devices" in s
+
+
+def test_plot_spectrogram_figures():
+    from speech_enhancement_by_s3prl_tpu.utils.plotting import (
+        plot_spectrogram,
+        plot_spectrograms,
+    )
+
+    spec = np.abs(np.random.default_rng(0).standard_normal((50, 201))) + 1e-3
+    fig = plot_spectrogram(spec)
+    assert fig.get_axes()
+    figs = plot_spectrograms([spec, spec.T])
+    assert figs.get_axes()
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
