@@ -97,3 +97,35 @@ def test_param_shardings_divisibility_guard():
         s for path, s in flat if "w_hh" in "/".join(str(p) for p in path)
     ]
     assert any("model" in str(s.spec) for s in lstm_shardings)
+
+
+def test_mesh_eval_with_metric_chunking(monkeypatch):
+    """SE_METRIC_CHUNK composes with mesh-sharded eval: the lax.map over
+    metric sub-batches runs inside the GSPMD-sharded program (resharding
+    is transparent) and scores stay identical."""
+    from speech_enhancement_by_s3prl_tpu.parallel.mesh import (
+        make_parallel_eval_step,
+    )
+
+    builder = tiny_builder()
+    rng = jax.random.PRNGKey(0)
+    B, T = 8, 8000
+    wavs = jax.random.normal(rng, (B, 3, T), jnp.float32) * 0.1
+    lengths = jnp.full((B,), T, jnp.int32)
+    state = builder.init_state(rng, wavs, lengths)
+    mesh = make_mesh(8, model_parallel=2)
+
+    monkeypatch.delenv("SE_METRIC_CHUNK", raising=False)
+    ref_step = make_parallel_eval_step(builder, mesh)
+    with mesh:
+        ref = np.asarray(
+            ref_step(state.params, wavs, lengths)["scores"]["sisdr"]
+        )
+
+    monkeypatch.setenv("SE_METRIC_CHUNK", "2")
+    chunk_step = make_parallel_eval_step(builder, mesh)
+    with mesh:
+        got = np.asarray(
+            chunk_step(state.params, wavs, lengths)["scores"]["sisdr"]
+        )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
