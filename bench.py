@@ -229,9 +229,10 @@ def main():
         # scores metrics per utterance on a 12-process CPU pool instead
         import dataclasses
 
-        builder = dataclasses.replace(
-            graft._build(), eval_metrics=("sisdr", "stoi")
+        metrics = tuple(
+            os.environ.get("BENCH_EVAL_METRICS", "sisdr,stoi").split(",")
         )
+        builder = dataclasses.replace(graft._build(), eval_metrics=metrics)
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
         # wav_out='first' is what the runner uses when all metrics score
