@@ -19,7 +19,7 @@ def test_bench_emits_driver_json():
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=540, check=True,
+        env=env, capture_output=True, text=True, timeout=1200, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)

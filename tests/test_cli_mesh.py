@@ -74,7 +74,7 @@ def test_cli_mesh_train(tmp_path):
             "--expdir", str(tmp_path / "exp"), "--dev_num", "2",
             "--n_jobs", "1", "--cpu", "--mesh", "2x2",
         ],
-        capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "step 4/4" in proc.stdout

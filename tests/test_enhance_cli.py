@@ -80,7 +80,7 @@ def test_enhance_cli_mesh_matches_single_device(corpus, tmp_path):
             [_sys.executable, os.path.join(REPO, "enhance.py"),
              "--ckpt", ckpt_dir, "--inputs", str(indir),
              "--outdir", str(outdir), "--cpu"] + extra,
-            capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=1200, env=env, cwd=REPO,
         )
         assert proc.returncode == 0, proc.stderr[-3000:]
         outs[tag] = {

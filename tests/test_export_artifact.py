@@ -171,7 +171,7 @@ def test_enhance_cli_with_artifact(exported, tmp_path, monkeypatch):
         [_sys.executable, os.path.join(REPO, "enhance.py"),
          "--artifact", art_dir, "--inputs", str(indir),
          "--outdir", str(outdir), "--cpu"],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1200,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     for i in range(3):
