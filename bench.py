@@ -229,8 +229,19 @@ def main():
         # scores metrics per utterance on a 12-process CPU pool instead
         import dataclasses
 
+        from speech_enhancement_by_s3prl_tpu.metrics import (
+            DEVICE_BATCH_METRICS,
+        )
+
         metrics = tuple(
-            os.environ.get("BENCH_EVAL_METRICS", "sisdr,stoi").split(",")
+            m.strip()
+            for m in os.environ.get("BENCH_EVAL_METRICS", "sisdr,stoi").split(",")
+            if m.strip()
+        )
+        unknown = [m for m in metrics if m not in DEVICE_BATCH_METRICS]
+        assert not unknown, (
+            f"BENCH_EVAL_METRICS has no device kernel for {unknown}; "
+            f"choose from {DEVICE_BATCH_METRICS}"
         )
         builder = dataclasses.replace(graft._build(), eval_metrics=metrics)
         rng = jax.random.PRNGKey(0)
@@ -248,7 +259,10 @@ def main():
         for _ in range(iters):
             t0 = time.perf_counter()
             out = step(state.params, wavs, lengths)
-            float(out["loss"]) + float(out["scores"]["stoi"].sum())
+            # sync on every metric output, not a hardcoded name
+            float(out["loss"]) + sum(
+                float(v.sum()) for v in out["scores"].values()
+            )
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times)) * iters
         audio_seconds = batch * utt_sec * iters

@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--outdir", default="enhanced")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--sample_rate", type=int, default=16000)
-    ap.add_argument("--target_level", type=float, default=-25.0)
+    ap.add_argument("--target_level", type=float, default=None,
+                    help="output level in dB (default -25; artifacts bake "
+                         "the export-time level in — the flag is rejected "
+                         "with --artifact)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard each batch over N devices (data-parallel "
@@ -43,6 +46,10 @@ def main():
         ap.error("pass exactly one of --ckpt / --artifact")
     if args.artifact and args.mesh:
         ap.error("--artifact serving is single-device (no --mesh)")
+    if args.artifact and args.target_level is not None:
+        ap.error("--target_level is baked into the artifact at export time"
+                 " (re-export with scripts/export_model.py to change it)")
+    target_level = -25.0 if args.target_level is None else args.target_level
 
     import jax
 
@@ -61,11 +68,17 @@ def main():
     # are shared with the HTTP endpoint
     from serve import build_artifact_enhancer, build_enhancer
 
+    # offline CLI: fixed --batch_size chunks, so skip the online
+    # micro-batcher's power-of-two row rounding; keep the CLI's historical
+    # 30 s bucket ceiling (files beyond it stream in crossfaded windows)
     if args.artifact:
-        enhancer = build_artifact_enhancer(args.artifact, args.sample_rate)
+        enhancer = build_artifact_enhancer(
+            args.artifact, args.sample_rate, round_pow2=False
+        )
     else:
         enhancer = build_enhancer(
-            args.ckpt, args.sample_rate, args.target_level, mesh_n=args.mesh
+            args.ckpt, args.sample_rate, target_level, mesh_n=args.mesh,
+            max_bucket_ms=30000, round_pow2=False,
         )
 
     if os.path.isdir(args.inputs):

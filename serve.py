@@ -82,7 +82,8 @@ class MicroBatcher:
                     ev.set()
 
 
-def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float):
+def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
+                       max_bucket_ms: int = 60000):
     """Checkpoint -> (params, enhance_raw(params, wavs (B,T), lengths),
     buckets). Shared by the live server and the artifact exporter
     (scripts/export_model.py)."""
@@ -133,7 +134,7 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float):
     dims = pre.feat_dims()
     model = build_head(downstream, input_size=dims[1], output_size=dims[2],
                        **{**paras, **model_cfg})
-    buckets = default_buckets(sample_rate, 60000)
+    buckets = default_buckets(sample_rate, max_bucket_ms)
 
     def _enhance_raw(params, wavs, lengths):
         feats = pre(wavs[:, None, :])
@@ -148,17 +149,19 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float):
     return params, _enhance_raw, buckets
 
 
-def _pad_group(wavs, buckets, batch_round: int = 1):
+def _pad_group(wavs, buckets, batch_round: int = 1, round_pow2: bool = True):
     """Pad a request group to ONE static device shape: common duration
     bucket, row count rounded up to a power of two (bounds compiled
-    shapes per bucket) and to a multiple of batch_round (sharded batches
-    must divide evenly). Extra rows repeat row 0 and are discarded by the
-    caller. Returns (batch (n, T) f32, lens (n,) i32) — i32 matches the
+    shapes under variable-size online micro-batching; offline CLIs with
+    one fixed chunk size pass round_pow2=False to skip the padding) and
+    to a multiple of batch_round (sharded batches must divide evenly).
+    Extra rows repeat row 0 and are discarded by the caller. Returns
+    (batch (n, T) f32, lens (n,) i32) — i32 matches the
     exported-artifact signature regardless of JAX_ENABLE_X64."""
     from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
 
     T = bucket_length(max(len(w) for w in wavs), buckets)
-    n = max(1, 1 << (len(wavs) - 1).bit_length())
+    n = max(1, 1 << (len(wavs) - 1).bit_length()) if round_pow2 else len(wavs)
     n = -(-n // batch_round) * batch_round
     batch = np.zeros((n, T), np.float32)
     lens = np.empty((n,), np.int32)
@@ -197,12 +200,13 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
 
 
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
-                   mesh_n: int = 0):
+                   mesh_n: int = 0, max_bucket_ms: int = 60000,
+                   round_pow2: bool = True):
     import jax
     import jax.numpy as jnp
 
     params, _enhance_raw, buckets = build_raw_enhancer(
-        ckpt, sample_rate, target_level
+        ckpt, sample_rate, target_level, max_bucket_ms
     )
 
     batch_round = 1
@@ -258,7 +262,7 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
         return _aot[T]
 
     def _run_batch(wavs) -> list:
-        batch, lens = _pad_group(wavs, buckets, batch_round)
+        batch, lens = _pad_group(wavs, buckets, batch_round, round_pow2)
         if batch.shape[0] == 1 and use_aot:
             fn = _enhance_fn(batch.shape[1])
         else:
@@ -269,7 +273,8 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
     return _finish_enhancer(_run_batch, buckets, sample_rate, batch_round)
 
 
-def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
+def build_artifact_enhancer(artifact_dir: str, sample_rate: int,
+                            round_pow2: bool = True):
     """Serve from a `jax.export` deployment artifact
     (scripts/export_model.py): weights + program baked into portable
     StableHLO — no checkpoint and no framework model code on the serving
@@ -290,11 +295,22 @@ def build_artifact_enhancer(artifact_dir: str, sample_rate: int):
     # deserialized programs still compile per concrete shape — let the
     # persistent cache absorb that across serving processes (TPU only)
     setup_compile_cache()
+    import json as _json
+
+    with open(os.path.join(artifact_dir, "manifest.json")) as f:
+        manifest = _json.load(f)
+    art_sr = int(manifest.get("sample_rate", sample_rate))
+    if art_sr != sample_rate:
+        raise SystemExit(
+            f"artifact was exported at {art_sr} Hz but serving requested "
+            f"{sample_rate} Hz — the compiled programs' STFT geometry and "
+            "bucket durations are rate-specific"
+        )
     fns = load_enhance(artifact_dir)
     buckets = sorted(fns)
 
     def _run_batch(wavs) -> list:
-        batch, lens = _pad_group(wavs, buckets)
+        batch, lens = _pad_group(wavs, buckets, round_pow2=round_pow2)
         out = np.asarray(
             fns[batch.shape[1]](jnp.asarray(batch), jnp.asarray(lens))
         )
@@ -353,7 +369,8 @@ def main():
         # not an assert: must hold under python -O too
         ap.error("pass exactly one of --ckpt / --artifact")
     if artifact:
-        assert not mesh_n, "--artifact serving is single-device (no --mesh)"
+        if mesh_n:
+            ap.error("--artifact serving is single-device (no --mesh)")
         enhance = build_artifact_enhancer(artifact, args.sample_rate)
     else:
         enhance = build_enhancer(
