@@ -40,11 +40,17 @@ class MicroBatcher:
     at a time by construction.
     """
 
-    def __init__(self, run_batch, max_batch=16, window_ms=3.0, batch_round=1):
+    def __init__(self, run_batch, max_batch=16, window_ms=3.0, batch_round=1,
+                 bucket_of=None):
         self._run = run_batch  # list[np.ndarray] -> list[np.ndarray]
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
         self.round = batch_round
+        # requests are only coalesced within one duration bucket: CMVN is
+        # computed over padded frames, so a short request padded to a long
+        # co-rider's bucket would return different audio than it would
+        # alone — responses must be independent of concurrent traffic
+        self._bucket_of = bucket_of if bucket_of is not None else len
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -61,25 +67,31 @@ class MicroBatcher:
     def _loop(self):
         while True:
             group = [self._q.get()]
-            deadline = time.time() + self.window
+            # monotonic: a wall-clock (NTP) step must not stretch or
+            # collapse the coalescing window
+            deadline = time.monotonic() + self.window
             while len(group) < self.max_batch:
-                left = deadline - time.time()
+                left = deadline - time.monotonic()
                 if left <= 0:
                     break
                 try:
                     group.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
-            wavs = [g[0] for g in group]
-            try:
-                outs = self._run(wavs)
-                for (_, ev, slot), out in zip(group, outs):
-                    slot["out"] = out
-                    ev.set()
-            except Exception as e:  # pragma: no cover - surfaced to callers
-                for _, ev, slot in group:
-                    slot["err"] = e
-                    ev.set()
+            by_bucket: dict = {}
+            for g in group:
+                by_bucket.setdefault(self._bucket_of(len(g[0])), []).append(g)
+            for sub in by_bucket.values():
+                wavs = [g[0] for g in sub]
+                try:
+                    outs = self._run(wavs)
+                    for (_, ev, slot), out in zip(sub, outs):
+                        slot["out"] = out
+                        ev.set()
+                except Exception as e:  # pragma: no cover - surfaced to callers
+                    for _, ev, slot in sub:
+                        slot["err"] = e
+                        ev.set()
 
 
 def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
@@ -180,6 +192,8 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
         enhance_streaming,
     )
 
+    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
+
     def _single(wav: np.ndarray) -> np.ndarray:
         return run_batch([wav])[0]
 
@@ -196,6 +210,7 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
     enhance.run_batch = run_batch
     enhance.batch_round = batch_round
     enhance.max_len = buckets[-1]
+    enhance.bucket_of = lambda n: bucket_length(n, buckets)
     return enhance
 
 
@@ -329,7 +344,10 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--sample_rate", type=int, default=16000)
-    ap.add_argument("--target_level", type=float, default=-25.0)
+    ap.add_argument("--target_level", type=float, default=None,
+                    help="output level in dB (default -25; artifacts bake "
+                         "the export-time level in — the flag is rejected "
+                         "with --artifact)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--workers", type=int, default=1,
                     help=">1 serves requests concurrently and coalesces "
@@ -368,13 +386,19 @@ def main():
     if bool(getattr(args, "ckpt", "")) == bool(artifact):
         # not an assert: must hold under python -O too
         ap.error("pass exactly one of --ckpt / --artifact")
+    target_level = getattr(args, "target_level", None)
     if artifact:
         if mesh_n:
             ap.error("--artifact serving is single-device (no --mesh)")
+        if target_level is not None:
+            ap.error("--target_level is baked into the artifact at export "
+                     "time (re-export with scripts/export_model.py to "
+                     "change it)")
         enhance = build_artifact_enhancer(artifact, args.sample_rate)
     else:
         enhance = build_enhancer(
-            args.ckpt, args.sample_rate, args.target_level, mesh_n=mesh_n
+            args.ckpt, args.sample_rate,
+            -25.0 if target_level is None else target_level, mesh_n=mesh_n,
         )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))
@@ -384,6 +408,7 @@ def main():
             max_batch=getattr(args, "max_batch", 16),
             window_ms=getattr(args, "batch_window_ms", 3.0),
             batch_round=enhance.batch_round,
+            bucket_of=getattr(enhance, "bucket_of", None),
         )
         if workers > 1
         else None

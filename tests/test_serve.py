@@ -127,6 +127,49 @@ def test_enhance_rejects_garbage(server):
     assert e.value.code == 400
 
 
+def test_microbatcher_partitions_by_bucket():
+    """Concurrent requests are only coalesced within one duration bucket:
+    a short request's padded shape (and hence its CMVN statistics and
+    output audio) must not depend on which co-riders it was batched
+    with."""
+    sys.path.insert(0, REPO)
+    import serve
+    from speech_enhancement_by_s3prl_tpu.data.loader import bucket_length
+
+    buckets = [100, 200]
+    calls = []
+
+    def run_batch(wavs):
+        calls.append([len(w) for w in wavs])
+        return [w * 2.0 for w in wavs]
+
+    mb = serve.MicroBatcher(
+        run_batch, max_batch=8, window_ms=50.0,
+        bucket_of=lambda n: bucket_length(n, buckets),
+    )
+    lens = [50, 90, 150, 180, 60, 130]
+    outs = [None] * len(lens)
+
+    def worker(i):
+        outs[i] = mb.submit(np.full(lens[i], float(i + 1), np.float32))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(lens))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+
+    for i, n in enumerate(lens):
+        assert outs[i] is not None and len(outs[i]) == n
+        np.testing.assert_allclose(outs[i], np.full(n, 2.0 * (i + 1)))
+    assert calls, "dispatcher never ran"
+    for group in calls:
+        assert len({bucket_length(n, buckets) for n in group}) == 1, (
+            f"device batch mixed duration buckets: {group}"
+        )
+
+
 @pytest.fixture(scope="module")
 def batched_server(corpus, tmp_path_factory):
     """Concurrent serving: --workers 4 --mesh 2 (threaded HTTP handlers,
