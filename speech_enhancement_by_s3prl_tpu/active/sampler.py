@@ -66,48 +66,56 @@ def make_scoring_fn(
     step_builder,
     active_layerid: Optional[int] = None,
 ) -> Callable:
-    """Build ``scoring(params, wavs, lengths, mean=False) -> (B|1, P)``.
+    """Build ``scoring(params, wavs, lengths, mean=False, rng=None) ->
+    (B|1, P)``.
 
     ``mean=False``: per-utterance gradient embeddings via vmap(grad).
     ``mean=True``: single gradient of the batch loss (the query-side path,
     /root/reference/runner.py:390, sampler.py:83-87).
+
+    The loss runs in train mode — the reference scores with the live
+    (train-mode) downstream (/root/reference/sampler.py:89-106), so
+    dropout-bearing heads (Mockingjay) are scored with dropout active.
+    ``rng`` seeds those dropout masks; omitted, a fixed key keeps the
+    no-dropout flagship heads bit-deterministic.
     """
     sb = step_builder
 
-    def batch_loss(params, wavs, lengths):
+    def batch_loss(params, wavs, lengths, rng):
         from ..runner.trainer import make_context
 
         ctx = make_context(sb.preprocessor, wavs, lengths, sb.channel_inp,
                            sb.channel_tar)
-        loss, _ = sb.loss_fn(params, ctx)
+        loss, _ = sb.loss_fn(params, ctx, rngs={"dropout": rng})
         return loss
 
-    def single_grad(params, wavs, lengths):
-        g = jax.grad(batch_loss)(params, wavs, lengths)
-        return g
+    def per_sample_grads(params, wavs, lengths, rng):
+        def one(p, w, l, k):
+            return batch_loss(p, w[None], l[None], k)
 
-    def per_sample_grads(params, wavs, lengths):
-        def one(p, w, l):
-            return batch_loss(p, w[None], l[None])
-
-        return jax.vmap(jax.grad(one), in_axes=(None, 0, 0))(params, wavs, lengths)
+        keys = jax.random.split(rng, wavs.shape[0])
+        return jax.vmap(jax.grad(one), in_axes=(None, 0, 0, 0))(
+            params, wavs, lengths, keys
+        )
 
     @jax.jit
-    def scoring_mean(params, wavs, lengths):
-        g = single_grad(params, wavs, lengths)
+    def scoring_mean(params, wavs, lengths, rng):
+        g = jax.grad(batch_loss)(params, wavs, lengths, rng)
         g = _select_layer(g, active_layerid)
         flat = jnp.concatenate([l.reshape(-1) for l in jax.tree.leaves(g)])
         return flat[None, :]
 
     @jax.jit
-    def scoring_per_sample(params, wavs, lengths):
-        g = per_sample_grads(params, wavs, lengths)
+    def scoring_per_sample(params, wavs, lengths, rng):
+        g = per_sample_grads(params, wavs, lengths, rng)
         g = _select_layer(g, active_layerid)
         return _flatten(g)
 
-    def scoring(params, wavs, lengths, mean: bool = False):
+    def scoring(params, wavs, lengths, mean: bool = False, rng=None):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         fn = scoring_mean if mean else scoring_per_sample
-        return fn(params, jnp.asarray(wavs), jnp.asarray(lengths))
+        return fn(params, jnp.asarray(wavs), jnp.asarray(lengths), rng)
 
     return scoring
 

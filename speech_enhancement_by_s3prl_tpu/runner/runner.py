@@ -496,6 +496,10 @@ class Runner:
                     break
                 lengths, wavs = batch[0], batch[1]
                 cases = batch[2] if len(batch) == 3 else None
+                # per-step media loggers, dispatched only at media_step —
+                # the reference's train_loggers list
+                # (/root/reference/runner.py:369,481-483)
+                media_loggers = []
 
                 # -- async sampler collection (runner.py:374-381)
                 if getattr(self.args, "sampler_device", None) is not None:
@@ -512,15 +516,28 @@ class Runner:
                     except StopIteration:
                         query_iter = iter(queryloader)
                         q_lengths, q_wavs, _ = next(query_iter)
-                    q_scores = scoring(self.state.params, q_wavs, q_lengths, mean=True)
-                    t_scores = scoring(self.state.params, wavs, lengths)
+                    self.rng, q_rng, t_rng = jax.random.split(self.rng, 3)
+                    q_scores = scoring(
+                        self.state.params, q_wavs, q_lengths, mean=True,
+                        rng=q_rng,
+                    )
+                    t_scores = scoring(self.state.params, wavs, lengths, rng=t_rng)
                     match = np.asarray(matching(q_scores, t_scores))
-                    for idx in np.nonzero(match > 0)[0]:
+                    is_match = np.nonzero(match > 0)[0]
+                    for idx in is_match:
                         active_samples[self.global_step][int(cases[idx])].append(
                             {
                                 "wavs": wavs[idx, :, : int(lengths[idx])].T.copy(),
                                 "match_score": float(match[idx]),
                             }
+                        )
+                    # query/match audio at media_step
+                    # (/root/reference/runner.py:405-411); the match wavs
+                    # are captured pre-merge, like the reference's partials
+                    media_loggers.append((np.asarray(q_wavs), "active/query"))
+                    if len(is_match):
+                        media_loggers.append(
+                            (np.asarray(wavs)[is_match], "active/match")
                         )
 
                 # -- merge + weighted resample (runner.py:413-429)
@@ -588,6 +605,14 @@ class Runner:
                 if "media_step" in self.rconfig and self.global_step % int(
                     self.rconfig["media_step"]
                 ) == 0:
+                    for data, prefix in media_loggers:
+                        for ch, tag in [(0, "noisy"), (1, "clean"), (2, "noise")]:
+                            if data.shape[1] > ch:
+                                self.logging(
+                                    step=self.global_step,
+                                    tag=f"{prefix}_{tag}",
+                                    data=data[:, ch, :], mode="audio",
+                                )
                     # objective-owned figure logger (WSD): the reference
                     # dispatches objective_results['logger'] at media_step
                     # (/root/reference/runner.py:481-483); here the step is

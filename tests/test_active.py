@@ -111,6 +111,44 @@ def test_sync_sampler_training(corpus, tmp_path):
     assert runner.global_step == 5
 
 
+def test_sync_sampler_media_logging(corpus, tmp_path, monkeypatch):
+    """At media_step the sync branch logs the six active/query_* and
+    active/match_* audio streams (/root/reference/runner.py:405-411)."""
+    from speech_enhancement_by_s3prl_tpu.runner import runner as runner_mod
+
+    up = small_upstream()
+    runner, config, args = make_runner(
+        corpus, tmp_path, sync_sampler=True, active_sampling=True,
+    )
+    runner.upstream_model = up
+    runner.upstream_model2 = up
+    runner.config["OnlineDataset_train"]["pseudo_modes"] = [0, 1, 2, 3]
+    runner.rconfig["media_step"] = 2
+    # force every candidate to match so active/match_* logging is
+    # deterministically exercised
+    monkeypatch.setattr(
+        runner_mod, "matching",
+        lambda q, t: jnp.ones((t.shape[0],), jnp.float32),
+    )
+    runner.train()
+    runner.log.flush()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path), size_guidance={"images": 0})
+    acc.Reload()
+    img_tags = set(acc.Tags().get("images", []))
+    # no soundfile wheel in-image: the audio logger falls back to the
+    # spectrogram figure per tag, so the six streams appear as figures
+    for prefix in ("active/query", "active/match"):
+        for ch in ("noisy", "clean", "noise"):
+            assert any(f"{prefix}_{ch}" in t for t in img_tags), (
+                f"{prefix}_{ch} missing from media logs: {sorted(img_tags)}"
+            )
+
+
 def test_test_gradient_diagnostic(corpus, tmp_path):
     up = small_upstream()
     runner, *_ = make_runner(corpus, tmp_path, n_iterate=2)

@@ -275,6 +275,56 @@ def test_mockingjay_runner_loads_pretrained(corpus, s3prl_ckpt, tmp_path):
     assert not np.allclose(before, after)
 
 
+def test_mockingjay_sampler_scoring(corpus, s3prl_ckpt, tmp_path):
+    """Active-learning scoring must handle dropout-bearing downstreams:
+    the reference scores whatever downstream is configured with the
+    train-mode model (/root/reference/sampler.py:89-106), so a Mockingjay
+    head needs a dropout rng threaded through vmap(grad)."""
+    from speech_enhancement_by_s3prl_tpu.active.sampler import (
+        make_scoring_fn,
+        matching,
+    )
+
+    # dropout-bearing variant of the fixture ckpt (the fixture pins 0.0 for
+    # bit-exact forward parity; scoring must survive live dropout)
+    path, _, _ = s3prl_ckpt
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    payload["Settings"]["Config"]["transformer"]["hidden_dropout_prob"] = 0.1
+    drop_path = str(tmp_path / "states-drop.ckpt")
+    torch.save(payload, drop_path)
+
+    runner = _make_runner(corpus, tmp_path, drop_path, "Mockingjay",
+                          dckpt=drop_path)
+    scoring = make_scoring_fn(runner.builder)
+    rng = np.random.default_rng(3)
+    wavs = rng.standard_normal((2, 3, 8000)).astype(np.float32) * 0.1
+    lengths = np.asarray([8000, 6000])
+
+    per = np.asarray(scoring(runner.state.params, wavs, lengths))
+    assert per.shape[0] == 2 and np.isfinite(per).all()
+    assert (np.abs(per).sum(1) > 0).all()
+
+    mean = np.asarray(scoring(runner.state.params, wavs, lengths, mean=True))
+    assert mean.shape[0] == 1 and np.isfinite(mean).all()
+
+    m = np.asarray(matching(jnp.asarray(mean), jnp.asarray(per)))
+    assert m.shape == (2,) and np.isfinite(m).all()
+
+    # dropout is live in scoring (train-mode loss): different rng keys
+    # give different gradient embeddings, same key is deterministic
+    a = np.asarray(
+        scoring(runner.state.params, wavs, lengths, rng=jax.random.PRNGKey(1))
+    )
+    b = np.asarray(
+        scoring(runner.state.params, wavs, lengths, rng=jax.random.PRNGKey(2))
+    )
+    c = np.asarray(
+        scoring(runner.state.params, wavs, lengths, rng=jax.random.PRNGKey(1))
+    )
+    assert not np.allclose(a, b)
+    np.testing.assert_allclose(a, c)
+
+
 def test_overlay_params_rejects_mismatches():
     base = {"a": np.zeros((2, 3)), "b": {"c": np.zeros(4)}}
     ok = overlay_params(base, {"b": {"c": np.ones(4)}})
