@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="", help="checkpoint file or dir")
+    ap.add_argument("--upstream_ckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint for "
+                         "upstream-backed downstream checkpoints")
     ap.add_argument("--artifact", default="",
                     help="jax.export deployment artifact directory "
                          "(scripts/export_model.py) instead of a checkpoint")
@@ -79,6 +82,7 @@ def main():
         enhancer = build_enhancer(
             args.ckpt, args.sample_rate, target_level, mesh_n=args.mesh,
             max_bucket_ms=30000, round_pow2=False,
+            upstream_ckpt=args.upstream_ckpt,
         )
 
     if os.path.isdir(args.inputs):

@@ -21,6 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--upstream_ckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint for "
+                         "upstream-backed downstream checkpoints")
     ap.add_argument("--out", required=True)
     ap.add_argument("--sample_rate", type=int, default=16000)
     ap.add_argument("--target_level", type=float, default=-25.0)
@@ -40,7 +43,8 @@ def main():
     )
 
     params, enhance_raw, buckets = build_raw_enhancer(
-        args.ckpt, args.sample_rate, args.target_level
+        args.ckpt, args.sample_rate, args.target_level,
+        upstream_ckpt=args.upstream_ckpt,
     )
     if args.max_sec:
         buckets = [t for t in buckets if t <= args.max_sec * args.sample_rate]

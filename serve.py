@@ -95,10 +95,18 @@ class MicroBatcher:
 
 
 def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
-                       max_bucket_ms: int = 60000):
+                       max_bucket_ms: int = 60000, upstream_ckpt: str = ""):
     """Checkpoint -> (params, enhance_raw(params, wavs (B,T), lengths),
     buckets). Shared by the live server and the artifact exporter
-    (scripts/export_model.py)."""
+    (scripts/export_model.py).
+
+    Raw-feature heads run STFT -> head -> iSTFT in one program.
+    Upstream-backed checkpoints (from_rawfeature/from_waveform unset —
+    the reference's default path, /root/reference/runner.py:447-453)
+    additionally rebuild the frozen upstream encoder recorded in
+    Settings.Paras and run upstream -> head inside the same jitted
+    program; ``upstream_ckpt`` relocates the S3PRL pretraining checkpoint
+    when the recorded path is stale."""
     import jax
 
     from speech_enhancement_by_s3prl_tpu.utils.config import (
@@ -126,32 +134,88 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
     payload = load_checkpoint(ckpt)
     paras = payload["Settings"]["Paras"]
     config = payload["Settings"]["Config"]
-    params = jax.tree.map(jnp.asarray, payload["Downstream"])
-    if not (paras.get("from_rawfeature") or paras.get("from_waveform")):
-        raise SystemExit(
-            "checkpoint expects upstream hidden states; the serving endpoint "
-            "supports raw-feature heads — evaluate via run_downstream.py --test"
-        )
+    down_params = jax.tree.map(jnp.asarray, payload["Downstream"])
+    if paras.get("from_waveform"):
+        mode = "waveform"
+    elif paras.get("from_rawfeature"):
+        mode = "rawfeature"
+    else:
+        mode = "upstream"
 
     downstream = paras.get("downstream", "LSTM")
     model_cfg = config.get("model", {}).get(downstream, {}) or {}
     baseline_feat = dict(config["preprocessor"]["baseline"])
     baseline_feat["channel"] = 0
+
+    upstream = None
+    online: dict = {}
+    upstream_feat = dict(baseline_feat)
+    up_name = paras.get("upstream", "transformer")
+    up_ckpt = upstream_ckpt or paras.get("ckpt", "") or ""
+    if mode == "upstream" and up_name == "transformer":
+        if not os.path.exists(up_ckpt):
+            raise SystemExit(
+                "checkpoint was trained on upstream hidden states from "
+                f"'{paras.get('ckpt', '')}', which is not readable here — "
+                "pass --upstream_ckpt with the (relocated) S3PRL "
+                "pretraining checkpoint"
+            )
+        # the pretraining config defines the STFT geometry and the
+        # upstream input feature (run_downstream.py get_preprocessor
+        # parity, /root/reference/run_downstream.py:126-134)
+        import torch
+
+        online = dict(
+            torch.load(up_ckpt, map_location="cpu", weights_only=False)[
+                "Settings"
+            ]["Config"]["online"]
+        )
+        upstream_feat = dict(online.get("input", baseline_feat))
+        upstream_feat["channel"] = 0
+
     feat_list = [
-        baseline_feat, baseline_feat,
+        upstream_feat, baseline_feat,
         get_feat_config("linear", 0), get_feat_config("phase", 0),
         get_feat_config("linear", 0), get_feat_config("phase", 0),
     ]
-    pre = OnlinePreprocessor(feat_list=feat_list)
+    pre = OnlinePreprocessor(**online, feat_list=feat_list)
     dims = pre.feat_dims()
-    model = build_head(downstream, input_size=dims[1], output_size=dims[2],
+
+    params = down_params
+    if mode == "upstream":
+        from speech_enhancement_by_s3prl_tpu.models.upstream import (
+            build_upstream,
+        )
+
+        upstream = build_upstream(up_name, dims[0], up_ckpt)
+        in_size = getattr(upstream, "out_dim", dims[0])
+        if upstream.params:
+            params = {
+                "downstream": down_params,
+                "upstream": jax.tree.map(jnp.asarray, upstream.params),
+            }
+    elif mode == "waveform":
+        in_size = dims[0]
+    else:
+        in_size = dims[1]
+    model = build_head(downstream, input_size=in_size, output_size=dims[2],
                        **{**paras, **model_cfg})
     buckets = default_buckets(sample_rate, max_bucket_ms)
 
     def _enhance_raw(params, wavs, lengths):
         feats = pre(wavs[:, None, :])
-        _, down_feat, linear_inp, phase_inp, *_ = feats
-        predicted, _ = model.apply(params, features=down_feat, linears=linear_inp)
+        up_feat, down_feat, linear_inp, phase_inp, *_ = feats
+        if upstream is not None:
+            up_params = params.get("upstream") if isinstance(params, dict) \
+                and "upstream" in params else None
+            features = upstream(up_feat, params=up_params, train=False)
+            dparams = params["downstream"] if isinstance(params, dict) \
+                and "downstream" in params else params
+        else:
+            features = up_feat if mode == "waveform" else down_feat
+            dparams = params
+        predicted, _ = model.apply(dparams, features=features,
+                                   linears=linear_inp)
         wav = pre.istft(predicted, phase_inp)
         pad = wavs.shape[-1] - wav.shape[-1]
         wav = jnp.pad(wav, ((0, 0), (0, max(pad, 0))))[:, : wavs.shape[-1]]
@@ -216,12 +280,13 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
 
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
                    mesh_n: int = 0, max_bucket_ms: int = 60000,
-                   round_pow2: bool = True):
+                   round_pow2: bool = True, upstream_ckpt: str = ""):
     import jax
     import jax.numpy as jnp
 
     params, _enhance_raw, buckets = build_raw_enhancer(
-        ckpt, sample_rate, target_level, max_bucket_ms
+        ckpt, sample_rate, target_level, max_bucket_ms,
+        upstream_ckpt=upstream_ckpt,
     )
 
     batch_round = 1
@@ -338,6 +403,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="",
                     help="training checkpoint to serve (or use --artifact)")
+    ap.add_argument("--upstream_ckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint for "
+                         "upstream-backed downstream checkpoints (defaults "
+                         "to the path recorded in the checkpoint's args)")
     ap.add_argument("--artifact", default="",
                     help="serve a jax.export deployment artifact directory "
                          "(scripts/export_model.py) instead of a checkpoint")
@@ -399,6 +468,7 @@ def main():
         enhance = build_enhancer(
             args.ckpt, args.sample_rate,
             -25.0 if target_level is None else target_level, mesh_n=mesh_n,
+            upstream_ckpt=getattr(args, "upstream_ckpt", ""),
         )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))

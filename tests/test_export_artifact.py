@@ -96,7 +96,8 @@ def test_artifact_http_serving(exported, tmp_path):
         host = "127.0.0.1"
         port = 0
         sample_rate = 16000
-        target_level = -25.0
+        # artifacts bake the level in; the CLI now rejects an explicit flag
+        target_level = None
         cpu = True
         workers = 1
         mesh = 0
