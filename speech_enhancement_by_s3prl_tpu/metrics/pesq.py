@@ -6,9 +6,10 @@ Per-utterance wrapper with the reference's calling convention
 
 Scoring backend: the ITU-conformant ``pesq`` wheel when importable (what
 the reference scores with), else the batched JAX P.862 model
-(metrics/pesq_jax.py) with a one-time "approximate" notice — its analytic
-bark/threshold tables track ordering but are not certified against ITU
-conformance points (docs/PARITY_NOTES.md).
+(metrics/pesq_jax.py) with a one-time notice — it runs the published
+P.862 tables (metrics/p862_tables.py) but omits the fine time-alignment
+search and is not certified against ITU conformance points
+(docs/PARITY_NOTES.md).
 """
 from __future__ import annotations
 
@@ -32,9 +33,9 @@ def itu_pesq_fn():
 @functools.lru_cache(maxsize=1)
 def _warn_approximate() -> bool:
     warnings.warn(
-        "[pesq] scoring with the JAX P.862 model (approximate: analytic "
-        "bark/threshold tables, no ITU conformance certification); install "
-        "the `pesq` package for ITU-conformant MOS-LQO"
+        "[pesq] scoring with the JAX P.862 model (published tables, "
+        "coarse-only time alignment, no ITU conformance certification); "
+        "install the `pesq` package for ITU-conformant MOS-LQO"
     )
     return True
 

@@ -3,46 +3,67 @@
 The reference scores PESQ through the ITU reference C code (`pesq` wheel,
 /root/reference/evaluation.py:12-26), one utterance per CPU process. That
 binary is absent here, so this module implements the P.862 perceptual
-model natively with the full published structure:
+model natively with the published structure and, since round 3, the
+published constant tables (metrics/p862_tables.py):
 
-  level alignment -> receive filtering -> time-frequency decomposition
-  (32 ms hann frames, 50% overlap) -> bark-band grouping -> partial
-  frequency compensation -> time-varying gain compensation -> Zwicker-law
-  loudness -> center-clipped disturbance with masking -> asymmetry
-  weighting -> L2(bark) / L6(320 ms) / L2(time) aggregation -> raw PESQ ->
-  MOS-LQO mapping (P.862.1 narrowband / P.862.2 wideband constants).
+  level alignment (350-3250 Hz band power -> 1e7) -> receive filtering
+  (standard IRS receive table in nb mode) -> time-frequency decomposition
+  (32 ms hann frames, 50% overlap) -> bark-band grouping (published bin
+  counts, 100/nr power-density correction, Sp scale) -> partial frequency
+  compensation -> time-varying gain compensation (audible-power ratio,
+  0.2/0.8 first-order smoothing) -> modified Zwicker loudness (Sl scale,
+  low-band exponent modification) -> center-clipped disturbance with
+  masking -> asymmetry weighting -> weighted-L2(bark) / L6(320 ms) /
+  L2(time) aggregation -> raw PESQ -> MOS-LQO mapping (P.862.1
+  narrowband / P.862.2 wideband constants).
 
-Deviations from the ITU implementation, stated plainly:
-- bark band edges, band widths and hearing thresholds are generated
-  analytically (Traunmüller bark warp + Terhardt threshold curve) instead
-  of the ITU lookup tables;
+Remaining deviations from the ITU implementation, stated plainly:
 - time alignment is a single global delay per utterance (envelope
   cross-correlation, the coarse half of the ITU search) rather than the
-  full utterance-splitting + fine-alignment procedure; this framework's
-  own enhancement pipeline is sample-aligned by construction (iSTFT with
-  the noisy phase preserves timing), where the shift is the identity;
-- the receive-side IRS filter is a smooth analytic approximation of the
-  IRS-receive magnitude response.
+  full utterance-splitting + fine-alignment + bad-interval realignment
+  procedure; this framework's own enhancement pipeline is sample-aligned
+  by construction (iSTFT with the noisy phase preserves timing), where
+  the shift is the identity;
+- the IRS receive filter is applied in the power-spectral domain per
+  frame (exact published magnitude response; the ITU filters the time
+  signal, which additionally smears frame boundaries);
+- the seven 4-8 kHz bin-grouping entries of the 16 kHz table are derived,
+  not transcribed (p862_tables.py documents the construction); they are
+  ~weightless in nb mode;
+- the wideband input filter is a smooth analytic highpass.
 
-Scores therefore track P.862 MOS-LQO closely in ordering and range but are
-not certified-bit-exact; for ITU-conformant numbers run the ITU binary.
-Unlike the reference's per-utterance CPU loop, this runs a whole padded
-batch in one XLA program.
+Scores track P.862 MOS-LQO in ordering and absolute range; for
+ITU-certified numbers run the ITU binary (scripts/metrics_conformance.py
+measures the deltas wherever the `pesq` wheel exists). Unlike the
+reference's per-utterance CPU loop, this runs a whole padded batch in one
+XLA program.
+
+`SE_PESQ_TABLES=analytic` falls back to the pre-round-3 analytically
+generated bands/thresholds (Traunmüller warp + Terhardt threshold +
+smooth IRS), run through the same pipeline.
 """
 from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .p862_tables import (
+    TARGET_AVG_POWER,
+    band_tables,
+    irs_receive_gain,
+)
 from .stoi import metric_precision as _metric_precision
 from .stoi import resample as _resample
 
-SL = 3.71e-1  # loudness scaling (calibrated so 0 dB white noise ~ 1.5 MOS nb)
 ZWICKER = 0.23
+# legacy loudness scale of the analytic pipeline (kept for the fallback
+# tables' docstring lineage; the table path uses Sl from p862_tables)
+SL = 3.71e-1
 
 
 def _hz_to_bark(f):
@@ -59,37 +80,86 @@ def _terhardt_threshold_db(f_khz):
     )
 
 
-@functools.lru_cache(maxsize=4)
-def _model_consts(fs: int):
-    """Frame geometry + bark matrices for the P.862 model at fs."""
+def _analytic_bands(fs: int, n_bins: int, freqs: np.ndarray) -> dict:
+    """The pre-round-3 analytic generator (SE_PESQ_TABLES=analytic):
+    uniform-bark bands from the Traunmüller warp, Terhardt thresholds."""
+    nb = 42 if fs == 8000 else 49
+    T = band_tables(fs)  # for Sp/Sl scale only
+    bark = _hz_to_bark(freqs)
+    edges = np.linspace(bark[1], bark[-1], nb + 1)
+    idx = np.clip(np.searchsorted(edges, bark) - 1, 0, nb - 1)
+    group = np.zeros((n_bins, nb), np.float64)
+    for k in range(1, n_bins):
+        group[k, idx[k]] = 1.0
+    counts = np.maximum(group.sum(axis=0), 1.0)
+    group = group * (100.0 / counts) * T["sp"]
+
+    centers_bark = 0.5 * (edges[:-1] + edges[1:])
+    centers_hz = 1960.0 * (centers_bark + 0.53) / (26.28 - centers_bark)
+    width_bark = np.diff(edges)
+    thr_db = _terhardt_threshold_db(centers_hz / 1000.0)
+    p0 = 10.0 ** (thr_db / 10.0)
+
+    # smooth IRS-receive-like bandpass magnitude
+    f_safe = np.maximum(freqs, 1.0)
+    irs_db = (
+        -18.0 * (np.log2(310.0 / f_safe).clip(min=0.0)) ** 2 / 2.0
+        - 12.0 * (np.log2(f_safe / 3100.0).clip(min=0.0)) ** 2
+    )
+    return dict(
+        nb=nb, group=group, p0=p0, width=width_bark, centre=centers_bark,
+        sl=T["sl"], irs_gain=10.0 ** (irs_db / 20.0),
+    )
+
+
+def _table_bands(fs: int, n_bins: int, freqs: np.ndarray) -> dict:
+    """Published-table band model (default): per-band FFT-bin runs with
+    the 100/nr power-density correction and Sp scale baked into the
+    grouping matrix."""
+    T = band_tables(fs)
+    nb = T["nb"]
+    group = np.zeros((n_bins, nb), np.float64)
+    start = 1  # DC excluded
+    for j, n in enumerate(T["nr_of_hz_bands"]):
+        group[start : start + int(n), j] = T["pow_dens_correction"][j] * T["sp"]
+        start += int(n)
+    assert start <= n_bins + 1
+    return dict(
+        nb=nb, group=group, p0=T["abs_thresh"], width=T["width_bark"],
+        centre=T["centre_bark"], sl=T["sl"],
+        irs_gain=irs_receive_gain(freqs),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _model_consts(fs: int, source: str = ""):
+    """Frame geometry + band model for the P.862 pipeline at fs."""
     if fs == 8000:
-        n_frame, nb = 256, 42
+        n_frame = 256
     elif fs == 16000:
-        n_frame, nb = 512, 49
+        n_frame = 512
     else:
         raise ValueError(f"PESQ model supports 8k/16k, got {fs}")
     hop = n_frame // 2
     n_bins = n_frame // 2 + 1
     freqs = np.linspace(0, fs / 2, n_bins)
 
-    bark = _hz_to_bark(freqs)
-    edges = np.linspace(bark[1], bark[-1], nb + 1)
-    group = np.zeros((n_bins, nb), np.float32)
-    idx = np.clip(np.searchsorted(edges, bark) - 1, 0, nb - 1)
-    for k in range(1, n_bins):
-        group[k, idx[k]] = 1.0
-    counts = np.maximum(group.sum(axis=0), 1.0)
-    pow_group = group / counts  # mean power per band
+    source = source or os.environ.get("SE_PESQ_TABLES", "p862")
+    if source == "analytic":
+        bands = _analytic_bands(fs, n_bins, freqs)
+    else:
+        bands = _table_bands(fs, n_bins, freqs)
+    # the ITU chain computes the per-frame power spectrum as |FFT|^2 / N;
+    # our DFT matrices are unnormalized, so fold 1/N into the grouping.
+    # This anchors the absolute internal scale the model's additive
+    # constants (+50 asymmetry offset, +1e3/+5e3 compensation floors,
+    # 1e5/1e7 frame weights) are defined against.
+    bands["group"] = bands["group"] / n_frame
 
-    centers_bark = 0.5 * (edges[:-1] + edges[1:])
-    # invert bark warp for center freqs
-    centers_hz = 1960.0 * (centers_bark + 0.53) / (26.28 - centers_bark)
-    width_bark = np.diff(edges).astype(np.float32)
-
-    thr_db = _terhardt_threshold_db(centers_hz / 1000.0)
-    # intensity threshold per band (arbitrary internal scale, calibrated
-    # through POWER normalization below)
-    p0 = (10.0 ** (thr_db / 10.0)).astype(np.float32)
+    # modified Zwicker exponent per band (low-band modification)
+    centre = bands["centre"]
+    h = np.where(centre < 4.0, np.minimum(6.0 / (centre + 2.0), 2.0), 1.0)
+    mzp = ZWICKER * h**0.15
 
     window = np.hanning(n_frame + 1)[:n_frame].astype(np.float32)
     n = np.arange(n_frame)[:, None].astype(np.float64)
@@ -98,23 +168,21 @@ def _model_consts(fs: int):
     dft_re = (window[:, None] * np.cos(ang)).astype(np.float32)
     dft_im = (window[:, None] * -np.sin(ang)).astype(np.float32)
 
-    # smooth IRS-receive-like bandpass (nb) magnitude response
+    # wideband input filter: gentle highpass below 100 Hz (P.862.2 mode)
     f_safe = np.maximum(freqs, 1.0)
-    irs_db = (
-        -18.0 * (np.log2(310.0 / f_safe).clip(min=0.0)) ** 2 / 2.0
-        - 12.0 * (np.log2(f_safe / 3100.0).clip(min=0.0)) ** 2
-    )
-    irs_gain = (10.0 ** (irs_db / 20.0)).astype(np.float32)
-    # wideband input filter: gentle highpass below 100 Hz
     wb_db = -24.0 * (np.log2(100.0 / f_safe).clip(min=0.0)) ** 2
     wb_gain = (10.0 ** (wb_db / 20.0)).astype(np.float32)
 
-    band_freq_mask = ((freqs >= 350) & (freqs <= 3250)).astype(np.float32)
     return dict(
-        n_frame=n_frame, hop=hop, n_bins=n_bins, nb=nb,
-        pow_group=pow_group, width=width_bark, p0=p0,
+        n_frame=n_frame, hop=hop, n_bins=n_bins, nb=bands["nb"],
+        group=bands["group"].astype(np.float32),
+        p0=bands["p0"].astype(np.float32),
+        width=bands["width"].astype(np.float32),
+        mzp=mzp.astype(np.float32),
+        sl=float(bands["sl"]),
+        irs_gain=bands["irs_gain"].astype(np.float32),
+        wb_gain=wb_gain,
         dft_re=dft_re, dft_im=dft_im,
-        irs_gain=irs_gain, wb_gain=wb_gain, band_mask=band_freq_mask,
     )
 
 
@@ -133,6 +201,22 @@ def _frames_power(x, C):
     im = jnp.einsum("bmn,nk->bmk", fr, jnp.asarray(C["dft_im"]),
                     preferred_element_type=jnp.float32, precision=hi)
     return re * re + im * im  # (B, M, bins)
+
+
+def _fix_power_level(x, lengths, fs: int):
+    """ITU level alignment: scale each utterance so its mean power over
+    the valid samples, band-limited to 350-3250 Hz, equals 1e7
+    (TARGET_AVG_POWER; the C code's fix_power_level)."""
+    T = x.shape[-1]
+    X = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
+    freqs = np.fft.rfftfreq(T, 1.0 / fs)
+    bandm = jnp.asarray(((freqs >= 350.0) & (freqs <= 3250.0)), jnp.float32)
+    # Parseval (band excludes DC/Nyquist): sum_n x_bp^2 = 2 sum_band |X|^2 / T
+    energy = 2.0 * ((jnp.real(X) ** 2 + jnp.imag(X) ** 2) * bandm).sum(-1) / T
+    denom = lengths.astype(jnp.float32) if lengths is not None else float(T)
+    power = energy / denom
+    scale = jnp.sqrt(TARGET_AVG_POWER / jnp.maximum(power, 1e-12))
+    return x * scale[:, None]
 
 
 def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
@@ -207,6 +291,10 @@ def pesq_batch(
         if lengths is not None:
             deg = deg * t_mask
 
+    # level alignment on the raw (pre-filter) signals, as the ITU chain
+    ref = _fix_power_level(ref, lengths, fs)
+    deg = _fix_power_level(deg, lengths, fs)
+
     P_ref = _frames_power(ref, C)
     P_deg = _frames_power(deg, C)
     M = P_ref.shape[1]
@@ -223,25 +311,9 @@ def pesq_batch(
     P_ref = P_ref * g2
     P_deg = P_deg * g2
 
-    # level alignment: mean band power (350-3250 Hz) over ACTIVE frames
-    # (frames within 20 dB of the loudest, the P.862 speech-active notion)
-    # scaled to 1e7
-    bm = jnp.asarray(C["band_mask"])
-
-    def align(P):
-        band_p = (P * bm).sum(-1)  # (B, M)
-        peak = band_p.max(axis=-1, keepdims=True)
-        active = ((band_p > 0.01 * peak) & (fmask > 0)).astype(P.dtype)
-        mean_p = (band_p * active).sum(-1) / jnp.maximum(
-            active.sum(-1) * bm.sum(), 1.0
-        )
-        return P * (1e7 / jnp.maximum(mean_p, 1e-6))[:, None, None]
-
-    P_ref = align(P_ref)
-    P_deg = align(P_deg)
-
-    # bark grouping
-    G = jnp.asarray(C["pow_group"])
+    # bark grouping -> pitch power densities (100/nr correction and Sp
+    # are baked into the grouping matrix)
+    G = jnp.asarray(C["group"])
     hi = _metric_precision()
     B_ref = jnp.einsum("bmk,kj->bmj", P_ref, G,
                        preferred_element_type=jnp.float32, precision=hi)
@@ -256,22 +328,35 @@ def pesq_batch(
     band_factor = jnp.clip(num / den, 0.01, 100.0)[:, None, :]
     B_ref_eq = B_ref * band_factor
 
-    # time-varying gain compensation (applied to the degraded signal)
-    tot_ref = (B_ref_eq * fmask[..., None]).sum(-1) + 5e3
-    tot_deg = (B_deg * fmask[..., None]).sum(-1) + 5e3
-    ratio = jnp.clip(tot_ref / tot_deg, 3e-4, 5.0)
+    # time-varying gain compensation (applied to the degraded signal):
+    # audible power = threshold-gated band power, band 0 excluded
+    aud_sel = jnp.asarray(
+        (np.arange(C["nb"]) >= 1).astype(np.float32)
+    )
+
+    def audible(B):
+        return ((B > p0) * B * aud_sel).sum(-1)
+
+    aud_ref = audible(B_ref_eq)
+    aud_deg = audible(B_deg)
+    ratio = (aud_ref + 5e3) / (aud_deg + 5e3)
 
     def smooth(carry, r):
-        s = 0.8 * carry + 0.2 * r
+        s = 0.2 * carry + 0.8 * r
         return s, s
 
-    _, ratio_s = jax.lax.scan(smooth, jnp.ones(ratio.shape[0]), ratio.T)
-    B_deg_eq = B_deg * ratio_s.T[..., None]
+    # frame 0 keeps its raw ratio (carry initialized to it)
+    _, ratio_s = jax.lax.scan(smooth, ratio[:, 0], ratio.T)
+    ratio_s = jnp.clip(ratio_s.T, 3e-4, 5.0)
+    B_deg_eq = B_deg * ratio_s[..., None]
 
-    # Zwicker loudness
+    # modified Zwicker loudness (Sl scale, per-band exponent)
+    mzp = jnp.asarray(C["mzp"])
+    sl = C["sl"]
+
     def loud(Bp):
-        r = (0.5 + 0.5 * Bp / p0) ** ZWICKER - 1.0
-        return SL * (p0 / 0.5) ** ZWICKER * jnp.maximum(r, 0.0)
+        r = (0.5 + 0.5 * Bp / p0) ** mzp - 1.0
+        return sl * (p0 / 0.5) ** mzp * jnp.maximum(r, 0.0)
 
     L_ref = loud(B_ref_eq)
     L_deg = loud(B_deg_eq)
@@ -285,13 +370,16 @@ def pesq_batch(
     asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
     d_asym = d_sym * asym
 
-    # aggregate: weighted L2 over bark
-    w = jnp.asarray(C["width"] / C["width"].sum())
-    frame_sym = jnp.sqrt(((d_sym**2) * w).sum(-1) * C["nb"])
-    frame_asym = ((jnp.abs(d_asym)) * w).sum(-1) * C["nb"] / 2.0
+    # aggregate over bark: the ITU pseudo_Lp (band 0 excluded) —
+    # W * (sum((|d| w)^p) / W)^(1/p) with p=2 (sym), p=1 (asym)
+    # W * (sum((|d| w)^p) / W)^(1/p): p=2 -> sqrt(W) * ||d w||_2
+    w = jnp.asarray(C["width"]) * aud_sel
+    W = w.sum()
+    frame_sym = jnp.sqrt(W * ((d_sym * w) ** 2).sum(-1))
+    frame_asym = (jnp.abs(d_asym) * w).sum(-1)
 
-    # frame weighting by audible power
-    fw = ((tot_deg + 1e5) / 1e7) ** 0.04
+    # frame weighting by the reference's audible power
+    fw = ((aud_ref + 1e5) / 1e7) ** 0.04
     frame_sym = jnp.minimum(frame_sym / fw, 45.0) * fmask
     frame_asym = jnp.minimum(frame_asym / fw, 45.0) * fmask
 

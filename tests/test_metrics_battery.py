@@ -22,15 +22,16 @@ from speech_enhancement_by_s3prl_tpu.metrics import estoi_eval, stoi_eval
 from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import pesq_batch
 
 # name -> (pesq_nb, stoi, estoi), frozen from the CPU reference run
+# (PESQ re-pinned in round 3: published-table P.862 model, p862_tables.py)
 PINNED = {
-    "white_snr20": (1.1186, 0.51806, 0.09596),
-    "white_snr10": (1.0101, 0.49390, 0.09740),
-    "white_snr5": (1.0038, 0.47375, 0.09476),
-    "white_snr0": (1.0037, 0.37419, 0.06934),
-    "white_snr-5": (1.0037, 0.28926, 0.04990),
+    "white_snr20": (1.8298, 0.51806, 0.09596),
+    "white_snr10": (1.3591, 0.49390, 0.09740),
+    "white_snr5": (1.2296, 0.47375, 0.09476),
+    "white_snr0": (1.1823, 0.37419, 0.06934),
+    "white_snr-5": (1.1738, 0.28926, 0.04990),
     "gain+6dB": (4.5486, 0.99998, 1.00000),
-    "lowpass": (4.5437, 0.97776, 0.76085),
-    "clip": (1.0503, 0.63414, -0.01135),
+    "lowpass": (4.5438, 0.97776, 0.76085),
+    "clip": (1.5103, 0.63414, -0.01135),
 }
 
 

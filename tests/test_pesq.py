@@ -17,6 +17,28 @@ def _speechlike(rng, n, fs=16000):
     return (env * carrier * 0.3).astype(np.float32)
 
 
+def _voiced(rng, n, fs=16000):
+    """Harmonic, formant-shaped, pause-bearing signal. The P.862 model's
+    discrimination comes from noise exposed in spectral valleys and
+    pauses; a flat-spectrum carrier masks additive noise almost fully
+    (physically correct, but a weak probe)."""
+    t = np.arange(n) / fs
+    f0 = 120.0 * (1 + 0.08 * np.sin(2 * np.pi * 2.3 * t))
+    phase = 2 * np.pi * np.cumsum(f0) / fs
+    x = np.zeros(n)
+    for h in range(1, 30):
+        fh = h * 120.0
+        amp = sum(
+            np.exp(-0.5 * ((fh - fc) / bw) ** 2)
+            for fc, bw in [(500, 80), (1500, 120), (2500, 200)]
+        ) * (1.0 / h) ** 0.5
+        x += amp * np.sin(h * phase + rng.uniform(0, 2 * np.pi))
+    env = (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) * (
+        np.sin(2 * np.pi * 1.1 * t) > -0.3
+    )
+    return (env * x / np.abs(x).max() * 0.3).astype(np.float32)
+
+
 def _at_snr(x, noise, snr_db):
     scale = np.sqrt((x**2).sum() / (10 ** (snr_db / 10) * (noise**2).sum()))
     return x + scale * noise
@@ -33,7 +55,7 @@ def test_pesq_identical_is_high():
 
 def test_pesq_decreases_with_noise():
     rng = np.random.default_rng(1)
-    x = _speechlike(rng, 32000)
+    x = _voiced(rng, 48000)
     noise = rng.standard_normal(x.shape).astype(np.float32)
     scores = []
     for snr in (30.0, 10.0, 0.0, -10.0):
@@ -42,7 +64,7 @@ def test_pesq_decreases_with_noise():
             float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None])[0])
         )
     assert scores[0] > scores[1] > scores[2] > scores[3], scores
-    assert scores[0] > 3.0 and scores[3] < 2.5
+    assert scores[0] > 3.5 and scores[3] < 2.0, scores
     assert all(1.0 <= s <= 5.0 for s in scores)
 
 

@@ -1,13 +1,14 @@
-"""Independent scalar transcription of the P.862-structure pipeline.
+"""Independent scalar transcription of the P.862 pipeline.
 
 `_pesq_scalar` below re-implements the perceptual model of
 metrics/pesq_jax.py for ONE utterance in plain loop-style numpy, written
 from the documented pipeline (level alignment -> receive filter ->
-frames -> bark -> partial frequency compensation -> time-varying gain ->
-Zwicker loudness -> masked disturbance -> asymmetry -> L2/L6/L2
-aggregation -> MOS map). It shares only the generated constant tables
-(`_model_consts` — analytic formulas, data not logic); every pipeline
-step is computed differently (python loops, no masking arithmetic), so
+frames -> bark grouping with the published tables -> partial frequency
+compensation -> time-varying gain with 0.2/0.8 smoothing -> modified
+Zwicker loudness -> masked disturbance -> asymmetry -> pseudo-Lp /
+L6(320 ms) / L2(time) aggregation -> MOS map). It shares only the
+constant tables (`_model_consts` — data, not logic); every pipeline step
+is computed differently (python loops, no masking arithmetic), so
 agreement exercises the batched/vmapped/masked JAX code paths the same
 way tests/test_stoi_reference.py guards the STOI kernel.
 """
@@ -17,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import (
-    SL,
     ZWICKER,
     _model_consts,
     pesq_batch,
@@ -29,6 +29,17 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
     n_frame, hop, nb = C["n_frame"], C["hop"], C["nb"]
     n_frames = max((len(ref) - n_frame) // hop + 1, 1)
 
+    def fix_level(x):
+        X = np.fft.rfft(np.asarray(x, np.float64))
+        freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
+        band = (freqs >= 350.0) & (freqs <= 3250.0)
+        energy = 2.0 * (np.abs(X[band]) ** 2).sum() / len(x)
+        power = energy / len(x)
+        return x * math.sqrt(1e7 / max(power, 1e-12))
+
+    ref = fix_level(np.asarray(ref, np.float64))
+    deg = fix_level(np.asarray(deg, np.float64))
+
     def frame_powers(x):
         out = np.empty((n_frames, C["n_bins"]))
         for m in range(n_frames):
@@ -38,28 +49,14 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
             out[m] = re * re + im * im
         return out
 
-    P_ref = frame_powers(np.asarray(ref, np.float64))
-    P_deg = frame_powers(np.asarray(deg, np.float64))
+    P_ref = frame_powers(ref)
+    P_deg = frame_powers(deg)
 
     gain = C["irs_gain"] if mode == "nb" else C["wb_gain"]
     P_ref = P_ref * (gain.astype(np.float64) ** 2)
     P_deg = P_deg * (gain.astype(np.float64) ** 2)
 
-    bm = C["band_mask"].astype(bool)
-
-    def level_align(P):
-        band_p = np.array([P[m][bm].sum() for m in range(n_frames)])
-        peak = band_p.max()
-        active = [m for m in range(n_frames) if band_p[m] > 0.01 * peak]
-        mean_p = sum(band_p[m] for m in active) / max(
-            len(active) * bm.sum(), 1.0
-        )
-        return P * (1e7 / max(mean_p, 1e-6))
-
-    P_ref = level_align(P_ref)
-    P_deg = level_align(P_deg)
-
-    G = C["pow_group"].astype(np.float64)
+    G = C["group"].astype(np.float64)
     B_ref = P_ref @ G
     B_deg = P_deg @ G
 
@@ -70,28 +67,38 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
         factor = min(max(factor, 0.01), 100.0)
         B_ref_eq[:, j] = B_ref[:, j] * factor
 
+    p0 = C["p0"].astype(np.float64)
+
+    def audible(row):
+        total = 0.0
+        for j in range(1, nb):
+            if row[j] > p0[j]:
+                total += row[j]
+        return total
+
     # time-varying gain compensation on the degraded signal
     B_deg_eq = np.empty_like(B_deg)
-    s = 1.0
-    tot_deg = np.empty(n_frames)
+    aud_ref = np.empty(n_frames)
+    s = None
     for m in range(n_frames):
-        tr = B_ref_eq[m].sum() + 5e3
-        td = B_deg[m].sum() + 5e3
-        tot_deg[m] = td
-        r = min(max(tr / td, 3e-4), 5.0)
-        s = 0.8 * s + 0.2 * r
-        B_deg_eq[m] = B_deg[m] * s
+        aud_ref[m] = audible(B_ref_eq[m])
+        r = (aud_ref[m] + 5e3) / (audible(B_deg[m]) + 5e3)
+        s = r if s is None else 0.2 * s + 0.8 * r
+        sc = min(max(s, 3e-4), 5.0)
+        B_deg_eq[m] = B_deg[m] * sc
 
-    p0 = C["p0"].astype(np.float64)
+    mzp = C["mzp"].astype(np.float64)
+    sl = C["sl"]
 
     def loud(row):
         out = np.empty(nb)
         for j in range(nb):
-            r = (0.5 + 0.5 * row[j] / p0[j]) ** ZWICKER - 1.0
-            out[j] = SL * (p0[j] / 0.5) ** ZWICKER * max(r, 0.0)
+            r = (0.5 + 0.5 * row[j] / p0[j]) ** mzp[j] - 1.0
+            out[j] = sl * (p0[j] / 0.5) ** mzp[j] * max(r, 0.0)
         return out
 
-    w = (C["width"] / C["width"].sum()).astype(np.float64)
+    w = C["width"].astype(np.float64)
+    W = w[1:].sum()
     frame_sym = np.empty(n_frames)
     frame_asym = np.empty(n_frames)
     for m in range(n_frames):
@@ -99,17 +106,17 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
         L_deg = loud(B_deg_eq[m])
         sym2 = 0.0
         asym1 = 0.0
-        for j in range(nb):
+        for j in range(1, nb):  # band 0 excluded from the Lp norms
             d = L_deg[j] - L_ref[j]
             dead = 0.25 * min(L_deg[j], L_ref[j])
             ds = math.copysign(max(abs(d) - dead, 0.0), d)
             a = ((B_deg_eq[m, j] + 50.0) / (B_ref_eq[m, j] + 50.0)) ** 1.2
             a = 0.0 if a < 3.0 else min(a, 12.0)
-            sym2 += ds * ds * w[j]
+            sym2 += (ds * w[j]) ** 2
             asym1 += abs(ds * a) * w[j]
-        fw = ((tot_deg[m] + 1e5) / 1e7) ** 0.04
-        frame_sym[m] = min(math.sqrt(sym2 * nb) / fw, 45.0)
-        frame_asym[m] = min(asym1 * nb / 2.0 / fw, 45.0)
+        fw = ((aud_ref[m] + 1e5) / 1e7) ** 0.04
+        frame_sym[m] = min(math.sqrt(W * sym2) / fw, 45.0)
+        frame_asym[m] = min(asym1 / fw, 45.0)
 
     def agg(fd):
         win = 20
@@ -129,7 +136,9 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
 
 def _speechlike(rng, n, fs=16000):
     t = np.arange(n) / fs
-    env = 0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)
+    env = (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t)) * (
+        np.sin(2 * np.pi * 1.1 * t) > -0.3
+    )
     carrier = np.convolve(rng.standard_normal(n), np.ones(3) / 3, mode="same")
     return (env * carrier * 0.3).astype(np.float32)
 
