@@ -12,9 +12,20 @@ north-star target is >=10x real-time per chip. ``vs_baseline`` is the
 ratio of the measured RTF to that 10x target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Default mode is ``all``: every benchmark mode runs in its own
+subprocess (env knobs like SE_LSTM_XW_BF16/SE_LSTM_UNROLL are read at
+import time, and one TPU client at a time is mandatory on the axon
+tunnel), and the single JSON line carries the enhance headline plus a
+``modes`` object with every mode's result — the whole perf claim in one
+driver artifact. ``BENCH_MODE=<mode>`` runs one mode exactly as before;
+``BENCH_MODES=a,b`` restricts the all-run; ``BENCH_TOTAL_BUDGET``
+(seconds, default 2400) stops scheduling further modes once exceeded so
+a cold-cache run cannot blow the driver's patience.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,8 +33,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# (name, env overrides) — every mode of the scoreboard. Batch/dtype
+# follow the measured per-mode sweet spots (docs/PERF.md).
+ALL_MODES = [
+    ("enhance", {"BENCH_MODE": "enhance"}),
+    ("train", {"BENCH_MODE": "train"}),
+    ("eval", {"BENCH_MODE": "eval"}),
+    ("eval_full", {"BENCH_MODE": "eval",
+                   "BENCH_EVAL_METRICS": "sisdr,stoi,estoi,pesq_nb,pesq_wb"}),
+    ("upstream", {"BENCH_MODE": "upstream"}),
+    ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
+                    "BENCH_BATCH": "64"}),
+    ("score", {"BENCH_MODE": "score"}),
+]
+
+
+def run_all():
+    names = [
+        m.strip()
+        for m in os.environ.get(
+            "BENCH_MODES", ",".join(n for n, _ in ALL_MODES)
+        ).split(",")
+        if m.strip()
+    ]
+    budget = float(os.environ.get("BENCH_TOTAL_BUDGET", "2400"))
+    t_start = time.time()
+    modes: dict = {}
+    skipped = []
+    for name, overrides in ALL_MODES:
+        if name not in names:
+            continue
+        if time.time() - t_start > budget:
+            skipped.append(name)
+            continue
+        env = dict(os.environ)
+        env.update(overrides)
+        env.pop("BENCH_MODES", None)
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_MODE_TIMEOUT", "1500")),
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            if out.returncode == 0 and line:
+                modes[name] = json.loads(line)
+            else:
+                modes[name] = {"error": (out.stderr or "no output")[-800:]}
+        except subprocess.TimeoutExpired:
+            modes[name] = {"error": "timeout"}
+        print(f"[bench:all] {name}: "
+              f"{modes[name].get('value', modes[name].get('error'))}",
+              file=sys.stderr, flush=True)
+
+    head = modes.get("enhance") or next(
+        (v for v in modes.values() if "value" in v), None
+    )
+    payload = {
+        "metric": (head or {}).get("metric", "enhance_rtf_per_chip"),
+        "value": (head or {}).get("value", 0.0),
+        "unit": (head or {}).get("unit", "x_realtime"),
+        "vs_baseline": (head or {}).get("vs_baseline", 0.0),
+        "modes": modes,
+    }
+    if skipped:
+        payload["skipped"] = skipped
+    print(json.dumps(payload))
+
 
 def main():
+    if os.environ.get("BENCH_MODE", "all") == "all":
+        # dispatch before any jax import: the parent must not claim the
+        # (single-client) TPU that its mode subprocesses need
+        run_all()
+        return
     # bf16 STORAGE of the LSTM input projections halves the dominant HBM
     # stream (+25% RTF at B=512; output fidelity vs f32 measured at
     # >100 dB SI-SDR — docs/PERF.md). Inference-bench default; the

@@ -601,6 +601,13 @@ class Runner:
                     )
                     t_start = time.time()
                     loss_sum = 0.0
+                    # objective-owned figure logger (WSD): the reference
+                    # dispatches objective_results['logger'] inside the
+                    # log_step block (/root/reference/runner.py:478-483);
+                    # here the step is jitted, so re-run the objective
+                    # eagerly on this batch
+                    if getattr(self.objective, "has_logger", False):
+                        self._dispatch_objective_logger(wavs, lengths)
 
                 if "media_step" in self.rconfig and self.global_step % int(
                     self.rconfig["media_step"]
@@ -613,12 +620,6 @@ class Runner:
                                     tag=f"{prefix}_{tag}",
                                     data=data[:, ch, :], mode="audio",
                                 )
-                    # objective-owned figure logger (WSD): the reference
-                    # dispatches objective_results['logger'] at media_step
-                    # (/root/reference/runner.py:481-483); here the step is
-                    # jitted, so re-run the objective eagerly on this batch
-                    if getattr(self.objective, "has_logger", False):
-                        self._dispatch_objective_logger(wavs, lengths)
                     for ch, tag in [(0, "noisy"), (1, "clean"), (2, "noise")]:
                         if wavs.shape[1] > ch:
                             self.logging(step=self.global_step, tag=tag,

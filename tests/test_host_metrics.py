@@ -45,7 +45,7 @@ def test_evaluate_scores_pesq_on_host(corpus, tmp_path, monkeypatch):
     )
 
     pesq_mod._warn_approximate.cache_clear()  # one-time notice per process
-    with pytest.warns(UserWarning, match="approximate"):
+    with pytest.warns(UserWarning, match="JAX P.862 model"):
         loss, scores, *_ = runner.evaluate()
     assert calls and all(m == "nb" for m in calls), "host pesq path not hit"
     assert np.isfinite(scores).all()

@@ -1,4 +1,4 @@
-"""WSD figure-logger dispatch at media_step and upstream --dropout
+"""WSD figure-logger dispatch at log_step and upstream --dropout
 train-mode semantics in the compiled step (round-1 VERDICT items 4/5)."""
 import numpy as np
 import pytest
@@ -24,12 +24,15 @@ from speech_enhancement_by_s3prl_tpu.runner.trainer import StepBuilder
 from tests.test_e2e import corpus, make_args, make_config  # noqa: F401
 
 
-def test_wsd_logger_dispatched_at_media_step(corpus, tmp_path):
+def test_wsd_logger_dispatched_at_log_step(corpus, tmp_path):
     """Train a couple of steps with --objective WSD and a Residual head
     (WSD consumes the mask `offset`); add_figure must receive the
-    WSD_variables figure at media_step (/root/reference/runner.py:481-483)."""
+    WSD_variables figure in the log_step block, where the reference
+    dispatches objective_results['logger']
+    (/root/reference/runner.py:478-483). No media_step is configured, so
+    a media-step dispatch would never fire here."""
     config = make_config(corpus)
-    config["runner"]["media_step"] = 2
+    config["runner"]["log_step"] = 2
     config["runner"]["total_step"] = 2
     config["objective"]["WSD"] = {"db_interval": 50, "alpha": 0.3}
     config["model"]["Residual"] = {
