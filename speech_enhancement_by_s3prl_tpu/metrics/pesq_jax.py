@@ -58,12 +58,8 @@ from .p862_tables import (
     irs_receive_gain,
 )
 from .stoi import metric_precision as _metric_precision
-from .stoi import resample as _resample
 
 ZWICKER = 0.23
-# legacy loudness scale of the analytic pipeline (kept for the fallback
-# tables' docstring lineage; the table path uses Sl from p862_tables)
-SL = 3.71e-1
 
 
 def _hz_to_bark(f):

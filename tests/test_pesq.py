@@ -93,6 +93,48 @@ def test_pesq_length_masking():
     assert abs(masked - full) < 0.15
 
 
+def test_pesq_8k_model():
+    """The 42-band 8 kHz model path (256-pt frames, bins 1..128)."""
+    rng = np.random.default_rng(6)
+    x = _voiced(rng, 24000)[::2].copy()  # crude 8 kHz decimation
+    noise = rng.standard_normal(x.shape).astype(np.float32)
+    clean = float(
+        pesq_batch(jnp.asarray(x)[None], jnp.asarray(x)[None],
+                   sample_rate=8000, mode="nb", align=False)[0]
+    )
+    assert clean > 4.0
+    y = _at_snr(x, noise, 5.0)
+    noisy = float(
+        pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None],
+                   sample_rate=8000, mode="nb", align=False)[0]
+    )
+    assert 1.0 <= noisy < clean - 1.0, (clean, noisy)
+
+
+def test_pesq_analytic_fallback():
+    """SE_PESQ_TABLES=analytic runs the same pipeline on the generated
+    band model; scores stay in range and order."""
+    from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import _model_consts
+
+    rng = np.random.default_rng(7)
+    x = _voiced(rng, 32000)
+    y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 10.0)
+    C = _model_consts(16000, "analytic")
+    assert C["nb"] == 49 and C["group"].shape == (257, 49)
+    import speech_enhancement_by_s3prl_tpu.metrics.pesq_jax as P
+
+    orig = P._model_consts
+    P._model_consts = lambda fs, source="": orig(fs, "analytic")
+    try:
+        clean = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(x)[None],
+                                 align=False)[0])
+        noisy = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None],
+                                 align=False)[0])
+    finally:
+        P._model_consts = orig
+    assert clean > 4.0 and 1.0 <= noisy < clean
+
+
 def test_reference_eval_api():
     rng = np.random.default_rng(4)
     tar = _speechlike(rng, 20000)
