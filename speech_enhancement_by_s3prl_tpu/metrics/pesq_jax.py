@@ -202,13 +202,22 @@ def _frames_power(x, C):
 def _fix_power_level(x, lengths, fs: int):
     """ITU level alignment: scale each utterance so its mean power over
     the valid samples, band-limited to 350-3250 Hz, equals 1e7
-    (TARGET_AVG_POWER; the C code's fix_power_level)."""
+    (TARGET_AVG_POWER; the C code's fix_power_level).
+
+    The transform zero-pads to a power of two: TPU FFTs at non-pow2
+    lengths fall back to Bluestein (3 transforms + elementwise), and
+    zero-padding changes neither the Parseval band energy nor the valid
+    sample count — only the (finer) frequency grid the band mask lives
+    on."""
     T = x.shape[-1]
-    X = jnp.fft.rfft(x.astype(jnp.float32), axis=-1)
-    freqs = np.fft.rfftfreq(T, 1.0 / fs)
+    nfft = 1 << (max(T, 2) - 1).bit_length()
+    X = jnp.fft.rfft(x.astype(jnp.float32), n=nfft, axis=-1)
+    freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     bandm = jnp.asarray(((freqs >= 350.0) & (freqs <= 3250.0)), jnp.float32)
-    # Parseval (band excludes DC/Nyquist): sum_n x_bp^2 = 2 sum_band |X|^2 / T
-    energy = 2.0 * ((jnp.real(X) ** 2 + jnp.imag(X) ** 2) * bandm).sum(-1) / T
+    # Parseval (band excludes DC/Nyquist): sum_n x_bp^2 = 2 sum_band |X|^2/nfft
+    energy = 2.0 * (
+        (jnp.real(X) ** 2 + jnp.imag(X) ** 2) * bandm
+    ).sum(-1) / nfft
     denom = lengths.astype(jnp.float32) if lengths is not None else float(T)
     power = energy / denom
     scale = jnp.sqrt(TARGET_AVG_POWER / jnp.maximum(power, 1e-12))

@@ -20,7 +20,7 @@ def test_bench_emits_driver_json():
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1200, check=True,
+        env=env, capture_output=True, text=True, timeout=3000, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
@@ -41,11 +41,14 @@ def test_bench_all_mode_scoreboard():
         BENCH_ITERS="1",
         BENCH_UTT_SEC="1",
         SE_LSTM_XW_BF16="0",
+        # generous bounds: CPU compiles crawl when the suite shares the
+        # single core with concurrent benches (load-flake otherwise)
+        BENCH_MODE_TIMEOUT="2700",
     )
     env.pop("BENCH_MODE", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=1200, check=True,
+        env=env, capture_output=True, text=True, timeout=3000, check=True,
     )
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)

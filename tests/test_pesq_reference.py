@@ -30,10 +30,11 @@ def _pesq_scalar(ref, deg, fs=16000, mode="nb"):
     n_frames = max((len(ref) - n_frame) // hop + 1, 1)
 
     def fix_level(x):
-        X = np.fft.rfft(np.asarray(x, np.float64))
-        freqs = np.fft.rfftfreq(len(x), 1.0 / fs)
+        nfft = 1 << (max(len(x), 2) - 1).bit_length()
+        X = np.fft.rfft(np.asarray(x, np.float64), n=nfft)
+        freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
         band = (freqs >= 350.0) & (freqs <= 3250.0)
-        energy = 2.0 * (np.abs(X[band]) ** 2).sum() / len(x)
+        energy = 2.0 * (np.abs(X[band]) ** 2).sum() / nfft
         power = energy / len(x)
         return x * math.sqrt(1e7 / max(power, 1e-12))
 
