@@ -132,6 +132,29 @@ def test_serve_upstream_missing_pretrain_ckpt(upstream_ckpt_dir, tmp_path):
     assert "upstream" in params
 
 
+def test_serve_upstream_mesh_sharded(upstream_ckpt_dir):
+    """dp mesh serving with an upstream-backed checkpoint: the params are
+    a {downstream, upstream} dict and every leaf must ride the replicated
+    sharding while the batch shards over 'data'."""
+    ckpt_dir, _ = upstream_ckpt_dir
+    sys.path.insert(0, REPO)
+    import serve
+
+    assert len(jax.devices()) >= 2, "conftest provisions 8 virtual devices"
+    mesh_enh = serve.build_enhancer(ckpt_dir, 16000, -25.0, mesh_n=2)
+    solo_enh = serve.build_enhancer(ckpt_dir, 16000, -25.0)
+    rng = np.random.default_rng(4)
+    wavs = [
+        (0.1 * rng.standard_normal(int(n))).astype(np.float32)
+        for n in (12000, 13000, 11000)
+    ]
+    outs = mesh_enh.run_batch(wavs)
+    solo = solo_enh.run_batch(wavs)
+    for o, s, w in zip(outs, solo, wavs):
+        assert o.shape == w.shape
+        np.testing.assert_allclose(o, s, atol=2e-4)
+
+
 def test_export_artifact_upstream_backed(upstream_ckpt_dir, tmp_path):
     """scripts/export_model.py bakes upstream+head into one StableHLO
     program; artifact serving returns the live path's audio."""
