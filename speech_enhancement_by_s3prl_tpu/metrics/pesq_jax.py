@@ -225,9 +225,12 @@ def _fix_power_level(x, lengths, fs: int):
 
 
 def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
-    """Per-utterance delay estimate (samples), P.862-coarse-alignment
-    style: cross-correlate 4 ms energy envelopes via FFT and take the
-    argmax within +/- max_delay. Positive delay = deg lags ref."""
+    """Per-utterance delay estimate (samples), P.862-alignment style:
+    a coarse pass cross-correlates 4 ms energy envelopes via FFT and
+    takes the argmax within +/- max_delay, then a fine pass
+    cross-correlates the raw signals and refines within +/- one envelope
+    cell — the estimate is exact to the sample for a bulk delay.
+    Positive delay = deg lags ref."""
     dec = 64  # 4 ms at 16 kHz
     T = ref.shape[-1]
     n = (T // dec) * dec
@@ -246,7 +249,18 @@ def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
     vals = xc[:, lags]
     best = jnp.argmax(vals, axis=-1)
     lag = jnp.where(best <= md, best, best - (2 * md + 1))
-    return lag * dec
+    coarse = lag * dec
+
+    # fine pass: raw-signal cross-correlation, searched only within
+    # +/- dec samples of the coarse lag (pow2 FFT — see _fix_power_level)
+    nfft2 = 1 << (2 * T - 1).bit_length()
+    Xf = jnp.fft.rfft(ref, nfft2)
+    Yf = jnp.fft.rfft(deg, nfft2)
+    xcf = jnp.fft.irfft(jnp.conj(Xf) * Yf, nfft2)
+    offsets = jnp.arange(-dec, dec + 1)
+    idx = jnp.mod(coarse[:, None] + offsets[None, :], nfft2)
+    fine_vals = jnp.take_along_axis(xcf, idx, axis=-1)
+    return coarse + offsets[jnp.argmax(fine_vals, axis=-1)]
 
 
 def _shift_back(x: jnp.ndarray, delay: jnp.ndarray):

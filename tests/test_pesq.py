@@ -153,15 +153,16 @@ def test_pesq_time_alignment():
     rng = np.random.default_rng(5)
     x = _speechlike(rng, 48000)
     y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 25.0)
-    shift = 1600  # 100 ms
+    shift = 1601  # ~100 ms, NOT a multiple of the 64-sample envelope cell
     y_late = np.zeros_like(y)
     y_late[shift:] = y[:-shift]
 
     ref = jnp.asarray(np.stack([x, x]))
     deg = jnp.asarray(np.stack([y, y_late]))
     d = np.asarray(_align_delay(ref, deg, max_delay=8000))
-    assert abs(int(d[0])) <= 64
-    assert abs(int(d[1]) - shift) <= 64, d
+    # fine pass makes the bulk-delay estimate exact to the sample
+    assert int(d[0]) == 0, d
+    assert int(d[1]) == shift, d
 
     aligned = np.asarray(pesq_batch(ref, deg, mode="nb", align=True))
     raw = np.asarray(pesq_batch(ref, deg, mode="nb", align=False))
