@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--upstream_ckpt", default="",
                     help="relocated S3PRL pretraining checkpoint for "
                          "upstream-backed downstream checkpoints")
+    ap.add_argument("--dckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint holding a "
+                         "Mockingjay head's config")
     ap.add_argument("--artifact", default="",
                     help="jax.export deployment artifact directory "
                          "(scripts/export_model.py) instead of a checkpoint")
@@ -52,6 +55,9 @@ def main():
     if args.artifact and args.target_level is not None:
         ap.error("--target_level is baked into the artifact at export time"
                  " (re-export with scripts/export_model.py to change it)")
+    if args.artifact and (args.upstream_ckpt or args.dckpt):
+        ap.error("--upstream_ckpt/--dckpt are resolved at export time "
+                 "(pass them to scripts/export_model.py instead)")
     target_level = -25.0 if args.target_level is None else args.target_level
 
     import jax
@@ -82,7 +88,7 @@ def main():
         enhancer = build_enhancer(
             args.ckpt, args.sample_rate, target_level, mesh_n=args.mesh,
             max_bucket_ms=30000, round_pow2=False,
-            upstream_ckpt=args.upstream_ckpt,
+            upstream_ckpt=args.upstream_ckpt, dckpt=args.dckpt,
         )
 
     if os.path.isdir(args.inputs):

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--upstream_ckpt", default="",
                     help="relocated S3PRL pretraining checkpoint for "
                          "upstream-backed downstream checkpoints")
+    ap.add_argument("--dckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint holding a "
+                         "Mockingjay head's config")
     ap.add_argument("--out", required=True)
     ap.add_argument("--sample_rate", type=int, default=16000)
     ap.add_argument("--target_level", type=float, default=-25.0)
@@ -44,7 +47,7 @@ def main():
 
     params, enhance_raw, buckets = build_raw_enhancer(
         args.ckpt, args.sample_rate, args.target_level,
-        upstream_ckpt=args.upstream_ckpt,
+        upstream_ckpt=args.upstream_ckpt, dckpt=args.dckpt,
     )
     if args.max_sec:
         buckets = [t for t in buckets if t <= args.max_sec * args.sample_rate]

@@ -95,7 +95,8 @@ class MicroBatcher:
 
 
 def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
-                       max_bucket_ms: int = 60000, upstream_ckpt: str = ""):
+                       max_bucket_ms: int = 60000, upstream_ckpt: str = "",
+                       dckpt: str = ""):
     """Checkpoint -> (params, enhance_raw(params, wavs (B,T), lengths),
     buckets). Shared by the live server and the artifact exporter
     (scripts/export_model.py).
@@ -144,6 +145,24 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
 
     downstream = paras.get("downstream", "LSTM")
     model_cfg = config.get("model", {}).get(downstream, {}) or {}
+    # pretrained-head checkpoints (SpecHead reads paras['ckpt'],
+    # Mockingjay paras['dckpt'] — their config travels in the S3PRL
+    # pretraining ckpt): allow relocation, fail with a hint otherwise
+    paras = dict(paras)
+    if upstream_ckpt:
+        paras["ckpt"] = upstream_ckpt
+    if dckpt:
+        paras["dckpt"] = dckpt
+    head_ckpt_key = {"SpecHead": "ckpt", "Mockingjay": "dckpt"}.get(downstream)
+    if head_ckpt_key:
+        head_ckpt = paras.get(head_ckpt_key, "") or ""
+        if not os.path.exists(head_ckpt):
+            flag = "--upstream_ckpt" if head_ckpt_key == "ckpt" else "--dckpt"
+            raise SystemExit(
+                f"{downstream} head config lives in the S3PRL pretraining "
+                f"checkpoint recorded as '{head_ckpt}', which is not "
+                f"readable here — pass {flag} with the relocated file"
+            )
     baseline_feat = dict(config["preprocessor"]["baseline"])
     baseline_feat["channel"] = 0
 
@@ -280,13 +299,14 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
 
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
                    mesh_n: int = 0, max_bucket_ms: int = 60000,
-                   round_pow2: bool = True, upstream_ckpt: str = ""):
+                   round_pow2: bool = True, upstream_ckpt: str = "",
+                   dckpt: str = ""):
     import jax
     import jax.numpy as jnp
 
     params, _enhance_raw, buckets = build_raw_enhancer(
         ckpt, sample_rate, target_level, max_bucket_ms,
-        upstream_ckpt=upstream_ckpt,
+        upstream_ckpt=upstream_ckpt, dckpt=dckpt,
     )
 
     batch_round = 1
@@ -407,6 +427,10 @@ def main():
                     help="relocated S3PRL pretraining checkpoint for "
                          "upstream-backed downstream checkpoints (defaults "
                          "to the path recorded in the checkpoint's args)")
+    ap.add_argument("--dckpt", default="",
+                    help="relocated S3PRL pretraining checkpoint holding a "
+                         "Mockingjay head's config (defaults to the path "
+                         "recorded in the checkpoint's args)")
     ap.add_argument("--artifact", default="",
                     help="serve a jax.export deployment artifact directory "
                          "(scripts/export_model.py) instead of a checkpoint")
@@ -463,12 +487,16 @@ def main():
             ap.error("--target_level is baked into the artifact at export "
                      "time (re-export with scripts/export_model.py to "
                      "change it)")
+        if getattr(args, "upstream_ckpt", "") or getattr(args, "dckpt", ""):
+            ap.error("--upstream_ckpt/--dckpt are resolved at export time "
+                     "(pass them to scripts/export_model.py instead)")
         enhance = build_artifact_enhancer(artifact, args.sample_rate)
     else:
         enhance = build_enhancer(
             args.ckpt, args.sample_rate,
             -25.0 if target_level is None else target_level, mesh_n=mesh_n,
             upstream_ckpt=getattr(args, "upstream_ckpt", ""),
+            dckpt=getattr(args, "dckpt", ""),
         )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))

@@ -155,6 +155,63 @@ def test_serve_upstream_mesh_sharded(upstream_ckpt_dir):
         np.testing.assert_allclose(o, s, atol=2e-4)
 
 
+@pytest.fixture(scope="module")
+def mockingjay_ckpt_dir(corpus, s3prl_ckpt, tmp_path_factory):
+    """A trained Mockingjay-as-downstream checkpoint (head config travels
+    in the S3PRL pretraining ckpt recorded as paras['dckpt'],
+    /root/reference/model.py:129-153)."""
+    from tests.test_spechead_pretrained import _make_runner
+
+    tmp = tmp_path_factory.mktemp("serve_mj")
+    path, _, _ = s3prl_ckpt
+    runner = _make_runner(corpus, tmp, path, "Mockingjay", dckpt=path)
+    runner.train()
+    return str(tmp), path
+
+
+def test_serve_mockingjay_dckpt_relocation(mockingjay_ckpt_dir, tmp_path):
+    """Serving a Mockingjay-head checkpoint needs the recorded S3PRL
+    pretraining ckpt for the head config: a stale path fails loudly and
+    --dckpt relocates it (mirrors --upstream_ckpt for SpecHead)."""
+    ckpt_dir, s3prl_path = mockingjay_ckpt_dir
+    sys.path.insert(0, REPO)
+    import shutil
+
+    import serve
+    from speech_enhancement_by_s3prl_tpu.runner.checkpoint import (
+        find_resume_ckpt,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 11000
+    wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    # recorded path valid: serves without flags
+    enhance = serve.build_enhancer(ckpt_dir, 16000, -25.0)
+    out = enhance(wav)
+    assert out.shape == (n,) and np.isfinite(out).all()
+
+    # stale recorded path: loud failure naming the relocation flag
+    payload = load_checkpoint(find_resume_ckpt(ckpt_dir))
+    args = dict(payload["Settings"]["Paras"])
+    args["dckpt"] = "/nonexistent/states-1.ckpt"
+    broken = tmp_path / "broken"
+    save_checkpoint(
+        str(broken), payload["Global_step"], payload["Downstream"],
+        payload["Optimizer"], payload["Settings"]["Config"], args,
+    )
+    with pytest.raises(SystemExit, match="--dckpt"):
+        serve.build_raw_enhancer(str(broken), 16000, -25.0)
+
+    # relocation restores byte-identical serving
+    moved = str(tmp_path / "relocated.ckpt")
+    shutil.copy(s3prl_path, moved)
+    reloc = serve.build_enhancer(str(broken), 16000, -25.0, dckpt=moved)
+    np.testing.assert_allclose(reloc(wav), out, atol=1e-6)
+
+
 def test_export_artifact_upstream_backed(upstream_ckpt_dir, tmp_path):
     """scripts/export_model.py bakes upstream+head into one StableHLO
     program; artifact serving returns the live path's audio."""
