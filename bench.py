@@ -77,7 +77,12 @@ def run_all():
             )
             line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
             if out.returncode == 0 and line:
-                modes[name] = json.loads(line)
+                try:
+                    modes[name] = json.loads(line)
+                except json.JSONDecodeError:
+                    # a stray non-JSON last line (library print at exit)
+                    # must cost only this mode, not the whole scoreboard
+                    modes[name] = {"error": f"non-JSON output: {line[-300:]}"}
             else:
                 modes[name] = {"error": (out.stderr or "no output")[-800:]}
         except subprocess.TimeoutExpired:
@@ -86,9 +91,11 @@ def run_all():
               f"{modes[name].get('value', modes[name].get('error'))}",
               file=sys.stderr, flush=True)
 
-    head = modes.get("enhance") or next(
-        (v for v in modes.values() if "value" in v), None
-    )
+    # headline = enhance if it SUCCEEDED (an {'error': ...} entry is
+    # truthy but has no 'value'), else the first succeeded mode
+    head = modes.get("enhance", {})
+    if "value" not in head:
+        head = next((v for v in modes.values() if "value" in v), None)
     payload = {
         "metric": (head or {}).get("metric", "enhance_rtf_per_chip"),
         "value": (head or {}).get("value", 0.0),

@@ -49,8 +49,10 @@ class MicroBatcher:
         # requests are only coalesced within one duration bucket: CMVN is
         # computed over padded frames, so a short request padded to a long
         # co-rider's bucket would return different audio than it would
-        # alone — responses must be independent of concurrent traffic
-        self._bucket_of = bucket_of if bucket_of is not None else len
+        # alone — responses must be independent of concurrent traffic.
+        # bucket_of maps a sample COUNT to its bucket; default: every
+        # length is its own bucket (no cross-length coalescing)
+        self._bucket_of = bucket_of if bucket_of is not None else (lambda n: n)
         self._q: "queue.Queue" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -80,7 +82,16 @@ class MicroBatcher:
                     break
             by_bucket: dict = {}
             for g in group:
-                by_bucket.setdefault(self._bucket_of(len(g[0])), []).append(g)
+                try:
+                    key = self._bucket_of(len(g[0]))
+                except Exception as e:
+                    # a bad bucket_of must fail the request, not kill the
+                    # dispatcher thread (which would hang every later
+                    # submit() forever)
+                    g[2]["err"] = e
+                    g[1].set()
+                    continue
+                by_bucket.setdefault(key, []).append(g)
             for sub in by_bucket.values():
                 wavs = [g[0] for g in sub]
                 try:
@@ -92,6 +103,26 @@ class MicroBatcher:
                     for _, ev, slot in sub:
                         slot["err"] = e
                         ev.set()
+
+
+def _load_ckpt_settings(path: str):
+    """Settings of a checkpoint in either this framework's or the torch
+    format -> (config, paras_dict) (run_downstream.py:165-178 parity)."""
+    from speech_enhancement_by_s3prl_tpu.runner.checkpoint import (
+        load_checkpoint,
+    )
+
+    try:
+        p = load_checkpoint(path)
+        return p["Settings"]["Config"], dict(p["Settings"]["Paras"])
+    except Exception:
+        import torch
+
+        t = torch.load(path, map_location="cpu", weights_only=False)
+        par = t["Settings"]["Paras"]
+        return t["Settings"]["Config"], (
+            par if isinstance(par, dict) else vars(par)
+        )
 
 
 def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
@@ -144,56 +175,88 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
         mode = "upstream"
 
     downstream = paras.get("downstream", "LSTM")
-    model_cfg = config.get("model", {}).get(downstream, {}) or {}
-    # pretrained-head checkpoints (SpecHead reads paras['ckpt'],
-    # Mockingjay paras['dckpt'] — their config travels in the S3PRL
-    # pretraining ckpt): allow relocation, fail with a hint otherwise
+    # recorded pretraining checkpoints shape serving construction exactly
+    # as they shaped training (run_downstream.py:144-235): paras['ckpt']
+    # defines the STFT geometry (+ SpecHead's head config + the upstream
+    # encoder), paras['dckpt'] the downstream feature and model config.
+    # Allow relocation; fail with a hint when a required file is missing.
     paras = dict(paras)
     if upstream_ckpt:
         paras["ckpt"] = upstream_ckpt
     if dckpt:
         paras["dckpt"] = dckpt
-    head_ckpt_key = {"SpecHead": "ckpt", "Mockingjay": "dckpt"}.get(downstream)
-    if head_ckpt_key:
-        head_ckpt = paras.get(head_ckpt_key, "") or ""
-        if not os.path.exists(head_ckpt):
-            flag = "--upstream_ckpt" if head_ckpt_key == "ckpt" else "--dckpt"
-            raise SystemExit(
-                f"{downstream} head config lives in the S3PRL pretraining "
-                f"checkpoint recorded as '{head_ckpt}', which is not "
-                f"readable here — pass {flag} with the relocated file"
-            )
+    up_name = paras.get("upstream", "transformer")
+    up_ckpt = paras.get("ckpt", "") or ""
+    d_path = paras.get("dckpt", "") or ""
+    if up_ckpt and not os.path.exists(up_ckpt):
+        what = (
+            f"{downstream}'s head config" if downstream == "SpecHead"
+            else "upstream hidden states" if mode == "upstream"
+            else "the preprocessor geometry"
+        )
+        raise SystemExit(
+            f"the checkpoint took {what} from the S3PRL pretraining "
+            f"checkpoint recorded as '{up_ckpt}', which is not readable "
+            "here — pass --upstream_ckpt with the relocated file"
+        )
+    if d_path and not os.path.exists(d_path):
+        what = (
+            "Mockingjay's head config" if downstream == "Mockingjay"
+            else "the downstream feature/model config"
+        )
+        raise SystemExit(
+            f"the checkpoint took {what} from the checkpoint recorded as "
+            f"'{d_path}', which is not readable here — pass --dckpt with "
+            "the relocated file"
+        )
     baseline_feat = dict(config["preprocessor"]["baseline"])
     baseline_feat["channel"] = 0
 
+    # pretraining config: STFT geometry + upstream input feature
+    # (run_downstream._pretrain_config; the yaml fallback's geometry
+    # equals the OnlinePreprocessor defaults, so {} is equivalent)
     upstream = None
+    up_payload = None
     online: dict = {}
-    upstream_feat = dict(baseline_feat)
-    up_name = paras.get("upstream", "transformer")
-    up_ckpt = upstream_ckpt or paras.get("ckpt", "") or ""
-    if mode == "upstream" and up_name == "transformer":
-        if not os.path.exists(up_ckpt):
-            raise SystemExit(
-                "checkpoint was trained on upstream hidden states from "
-                f"'{paras.get('ckpt', '')}', which is not readable here — "
-                "pass --upstream_ckpt with the (relocated) S3PRL "
-                "pretraining checkpoint"
-            )
-        # the pretraining config defines the STFT geometry and the
-        # upstream input feature (run_downstream.py get_preprocessor
-        # parity, /root/reference/run_downstream.py:126-134)
+    if up_ckpt:
         import torch
 
-        online = dict(
-            torch.load(up_ckpt, map_location="cpu", weights_only=False)[
-                "Settings"
-            ]["Config"]["online"]
-        )
+        up_payload = torch.load(up_ckpt, map_location="cpu",
+                                weights_only=False)
+        online = dict(up_payload["Settings"]["Config"]["online"])
+    upstream_feat = dict(baseline_feat)
+    if mode == "upstream" and up_name == "transformer":
+        if not up_ckpt:
+            raise SystemExit(
+                "checkpoint was trained on upstream hidden states but "
+                "records no S3PRL pretraining checkpoint — pass "
+                "--upstream_ckpt"
+            )
         upstream_feat = dict(online.get("input", baseline_feat))
         upstream_feat["channel"] = 0
 
+    # downstream feature + model config from the recorded dckpt
+    # (run_downstream.get_preprocessor:165-178 / get_downstream_model)
+    downstream_feat = dict(baseline_feat)
+    model_cfg = config.get("model", {}).get(downstream, {}) or {}
+    if d_path:
+        dconfig, dparas = _load_ckpt_settings(d_path)
+        downstream_feat = (
+            dict(dconfig["online"]["input"]) if "online" in dconfig
+            else dict(dconfig["preprocessor"]["baseline"])
+        )
+        downstream_feat["channel"] = 0
+        model_cfg = {}
+        if downstream != "Mockingjay":
+            if "small_model" in dconfig:
+                model_cfg = dconfig["small_model"]["model"]
+            else:
+                model_cfg = dconfig["model"][
+                    dparas.get("downstream", downstream)
+                ]
+
     feat_list = [
-        upstream_feat, baseline_feat,
+        upstream_feat, downstream_feat,
         get_feat_config("linear", 0), get_feat_config("phase", 0),
         get_feat_config("linear", 0), get_feat_config("phase", 0),
     ]
@@ -206,7 +269,8 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
             build_upstream,
         )
 
-        upstream = build_upstream(up_name, dims[0], up_ckpt)
+        upstream = build_upstream(up_name, dims[0], up_ckpt,
+                                  payload=up_payload)
         in_size = getattr(upstream, "out_dim", dims[0])
         if upstream.params:
             params = {

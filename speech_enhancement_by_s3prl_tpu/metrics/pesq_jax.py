@@ -127,9 +127,19 @@ def _table_bands(fs: int, n_bins: int, freqs: np.ndarray) -> dict:
     )
 
 
-@functools.lru_cache(maxsize=8)
 def _model_consts(fs: int, source: str = ""):
-    """Frame geometry + band model for the P.862 pipeline at fs."""
+    """Frame geometry + band model for the P.862 pipeline at fs.
+
+    The SE_PESQ_TABLES knob ('p862' published tables / 'analytic'
+    fallback) is re-read on every call — only the resolved (fs, source)
+    pair is cached, so flipping the env mid-process takes effect."""
+    return _model_consts_cached(
+        fs, source or os.environ.get("SE_PESQ_TABLES", "p862")
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _model_consts_cached(fs: int, source: str):
     if fs == 8000:
         n_frame = 256
     elif fs == 16000:
@@ -140,7 +150,6 @@ def _model_consts(fs: int, source: str = ""):
     n_bins = n_frame // 2 + 1
     freqs = np.linspace(0, fs / 2, n_bins)
 
-    source = source or os.environ.get("SE_PESQ_TABLES", "p862")
     if source == "analytic":
         bands = _analytic_bands(fs, n_bins, freqs)
     else:
@@ -243,7 +252,12 @@ def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
     X = jnp.fft.rfft(er, nfft)
     Y = jnp.fft.rfft(ed, nfft)
     xc = jnp.fft.irfft(jnp.conj(X) * Y, nfft)  # xc[d] = sum er[t] ed[t+d... ]
-    md = max(max_delay // dec, 1)
+    # clamp the search range to the envelope length: beyond L-1 cells the
+    # signals share no overlap, and the lag-index table below requires
+    # nfft >= 2*md+1 (nfft is the pow2 >= 2L-1, so md <= L-1 guarantees
+    # it) — without the clamp, utterances shorter than 2*max_delay mapped
+    # positive-lag bins onto negative positions and returned garbage
+    md = max(min(max_delay // dec, L - 1), 1)
     # lags -md..md: negative lags live at nfft-|d|
     lags = jnp.concatenate([jnp.arange(0, md + 1), jnp.arange(nfft - md, nfft)])
     vals = xc[:, lags]

@@ -216,11 +216,17 @@ def _feat_dim_from_online(online: Dict[str, Any], which: str) -> int:
     return feat_dim(online[which], pcfg)
 
 
-def load_s3prl_checkpoint(path: str) -> LoadedCheckpoint:
-    """Load + convert a torch S3PRL pretraining checkpoint."""
+def load_s3prl_checkpoint(path: str, payload=None) -> LoadedCheckpoint:
+    """Load + convert a torch S3PRL pretraining checkpoint. ``payload``
+    short-circuits the disk read with an already-loaded checkpoint dict
+    (real S3PRL ckpts are hundreds of MB — callers that torch.load the
+    config first should not pay the I/O twice)."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = (
+        payload if payload is not None
+        else torch.load(path, map_location="cpu", weights_only=False)
+    )
     pretrain_config = ckpt["Settings"]["Config"]
     config = TransformerConfig.from_dict(pretrain_config)
 

@@ -183,10 +183,13 @@ def build_upstream(
     dropout: Optional[float] = None,
     output_size: int = 201,
     seed: int = 0,
+    payload=None,
 ):
     """Factory mirroring ``get_upstream_model``
     (/root/reference/run_downstream.py:167-192): 'transformer' loads/creates
-    the encoder (+SpecHead), 'baseline' is the identity."""
+    the encoder (+SpecHead), 'baseline' is the identity. ``payload`` is an
+    already-torch.load'ed checkpoint dict for ``ckpt`` — callers that read
+    the checkpoint's config first pass it to skip a second disk load."""
     if upstream == "baseline":
         return DummyUpstream(input_dim)
     assert upstream == "transformer", f"unknown upstream {upstream}"
@@ -194,7 +197,7 @@ def build_upstream(
     if ckpt:
         from .torch_import import load_s3prl_checkpoint
 
-        loaded = load_s3prl_checkpoint(ckpt)
+        loaded = load_s3prl_checkpoint(ckpt, payload=payload)
         opts = UpstreamOptions(dropout=dropout)
         return UpstreamTransformer(
             loaded.config,

@@ -58,6 +58,42 @@ def test_bench_all_mode_scoreboard():
     assert payload["modes"]["enhance"]["value"] == payload["value"]
 
 
+def test_bench_all_headline_falls_back_and_survives_bad_json(monkeypatch, capsys):
+    """run_all robustness (regression): (1) when the enhance mode FAILS,
+    the headline must fall back to the first succeeded mode — the error
+    dict is truthy, so `modes.get('enhance') or ...` used to short-circuit
+    and report value 0.0; (2) a mode whose last stdout line is not JSON
+    must cost only that mode, not abort the whole scoreboard."""
+    sys.path.insert(0, REPO)
+    import types
+
+    import bench
+
+    fake = {
+        "enhance": types.SimpleNamespace(returncode=1, stdout="", stderr="compile boom"),
+        "train": types.SimpleNamespace(
+            returncode=0, stderr="",
+            stdout='{"metric": "train_rtf_per_chip", "value": 7100.0, '
+                   '"unit": "x_realtime", "vs_baseline": 710.0}',
+        ),
+        "eval": types.SimpleNamespace(
+            returncode=0, stdout="Exception ignored in atexit", stderr=""
+        ),
+    }
+
+    def fake_run(cmd, env=None, **kw):
+        return fake[env["BENCH_MODE"]]
+
+    monkeypatch.setenv("BENCH_MODES", "enhance,train,eval")
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.run_all()
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["value"] == 7100.0, payload
+    assert payload["metric"] == "train_rtf_per_chip"
+    assert "error" in payload["modes"]["enhance"]
+    assert "non-JSON" in payload["modes"]["eval"]["error"]
+
+
 def test_graft_entry_jittable():
     import jax
 

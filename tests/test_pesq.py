@@ -121,17 +121,22 @@ def test_pesq_analytic_fallback():
     y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 10.0)
     C = _model_consts(16000, "analytic")
     assert C["nb"] == 49 and C["group"].shape == (257, 49)
-    import speech_enhancement_by_s3prl_tpu.metrics.pesq_jax as P
 
-    orig = P._model_consts
-    P._model_consts = lambda fs, source="": orig(fs, "analytic")
+    # the env knob is re-read per call (not latched by the lru cache), so
+    # flipping it mid-process switches band models — prime the default
+    # model first to prove no stale-cache hit
+    _model_consts(16000)
+    import os
+
+    os.environ["SE_PESQ_TABLES"] = "analytic"
     try:
+        assert np.array_equal(_model_consts(16000)["group"], C["group"])
         clean = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(x)[None],
                                  align=False)[0])
         noisy = float(pesq_batch(jnp.asarray(x)[None], jnp.asarray(y)[None],
                                  align=False)[0])
     finally:
-        P._model_consts = orig
+        del os.environ["SE_PESQ_TABLES"]
     assert clean > 4.0 and 1.0 <= noisy < clean
 
 
@@ -172,3 +177,27 @@ def test_pesq_time_alignment():
     # the unaligned score craters
     assert aligned[1] > raw[1] + 0.5, (aligned, raw)
     assert abs(aligned[1] - aligned[0]) < 0.3, aligned
+
+
+def test_pesq_alignment_short_utterance():
+    """Utterances shorter than the +/-500 ms search range: the coarse
+    lag table must clamp to the envelope length (regression — positive
+    lag bins used to alias onto negative positions when the envelope FFT
+    was smaller than the search range, returning garbage like +7849 for
+    a true delay of -640 on a 0.2 s clip)."""
+    from speech_enhancement_by_s3prl_tpu.metrics.pesq_jax import _align_delay
+
+    rng = np.random.default_rng(11)
+    T = 3200  # 0.2 s at 16 kHz < 2 * (fs // 2) search range
+    x = rng.standard_normal(T).astype(np.float32) * 0.1
+    x *= (np.sin(2 * np.pi * 8 * np.arange(T) / 16000) ** 2 + 0.1).astype(
+        np.float32
+    )
+    for true in (-640, 0, 640):
+        if true >= 0:
+            y = np.concatenate([np.zeros(true, np.float32), x[: T - true]])
+        else:
+            y = np.concatenate([x[-true:], np.zeros(-true, np.float32)])
+        d = int(_align_delay(jnp.asarray(x[None]), jnp.asarray(y[None]),
+                             max_delay=8000)[0])
+        assert d == true, (true, d)

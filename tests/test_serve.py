@@ -170,6 +170,34 @@ def test_microbatcher_partitions_by_bucket():
         )
 
 
+def test_microbatcher_default_bucket_and_error_isolation():
+    """Regression: constructing a MicroBatcher WITHOUT bucket_of used to
+    apply len() to an int in the dispatcher, killing the thread and
+    hanging every submit() forever. The default must treat each length
+    as its own bucket, and a raising bucket_of must fail only the
+    affected request (not the dispatcher)."""
+    sys.path.insert(0, REPO)
+    import serve
+
+    mb = serve.MicroBatcher(lambda wavs: [w + 1.0 for w in wavs],
+                            max_batch=4, window_ms=5.0)
+    out = mb.submit(np.zeros(37, np.float32))
+    np.testing.assert_allclose(out, np.ones(37))
+
+    def bad_bucket(n):
+        if n == 13:
+            raise ValueError("boom")
+        return n
+
+    mb2 = serve.MicroBatcher(lambda wavs: [w for w in wavs],
+                             max_batch=4, window_ms=5.0,
+                             bucket_of=bad_bucket)
+    with pytest.raises(ValueError, match="boom"):
+        mb2.submit(np.zeros(13, np.float32))
+    # the dispatcher survived and still serves good requests
+    assert len(mb2.submit(np.zeros(8, np.float32))) == 8
+
+
 @pytest.fixture(scope="module")
 def batched_server(corpus, tmp_path_factory):
     """Concurrent serving: --workers 4 --mesh 2 (threaded HTTP handlers,

@@ -212,6 +212,137 @@ def test_serve_mockingjay_dckpt_relocation(mockingjay_ckpt_dir, tmp_path):
     np.testing.assert_allclose(reloc(wav), out, atol=1e-6)
 
 
+def test_serve_mockingjay_divergent_feature_geometry(tmp_path):
+    """A dckpt-bearing head must be served the dckpt's online.input
+    feature, not the downstream config's baseline
+    (run_downstream.get_preprocessor:165-178): a Mockingjay trained on
+    40-dim log-mel gets 40-dim log-mel at serving time too. Regression —
+    serving used to always build the 201-dim baseline linear feature,
+    crashing param application for any divergent geometry (the other
+    serving tests mask this because their fixture geometry happens to
+    equal the baseline)."""
+    import torch
+
+    sys.path.insert(0, REPO)
+    import serve
+    from speech_enhancement_by_s3prl_tpu.models.heads import build_head
+    from speech_enhancement_by_s3prl_tpu.runner.checkpoint import (
+        save_checkpoint,
+    )
+
+    pre_cfg = {
+        "transformer": {
+            "input_dim": 40, "hidden_size": 32, "num_hidden_layers": 1,
+            "num_attention_heads": 2, "intermediate_size": 48,
+            "hidden_act": "gelu", "hidden_dropout_prob": 0.0,
+            "attention_probs_dropout_prob": 0.0, "layer_norm_eps": 1e-12,
+            "share_layer": False, "downsample_rate": 1,
+        },
+        "online": {
+            "sample_rate": 16000, "win_ms": 25, "hop_ms": 10,
+            "n_freq": 201, "n_mels": 40, "n_mfcc": 13,
+            "input": {"feat_type": "mel", "channel": 0, "log": True,
+                      "delta": 0, "cmvn": True},
+            "target": {"feat_type": "linear", "channel": 1, "log": True,
+                       "delta": 0, "cmvn": False},
+        },
+    }
+    dck = str(tmp_path / "states-100.ckpt")
+    torch.save({"Settings": {"Config": pre_cfg, "Paras": {}}}, dck)
+
+    model = build_head("Mockingjay", input_size=40, output_size=201,
+                       dckpt=dck)
+    params = model.init(
+        jax.random.key(0),
+        features=jnp.zeros((1, 12, 40)), linears=jnp.zeros((1, 12, 201)),
+    )
+    config = {"preprocessor": {
+        "input_channel": 0, "target_channel": 1,
+        "baseline": {"feat_type": "linear", "log": False, "delta": 0,
+                     "cmvn": False},
+    }}
+    paras = dict(downstream="Mockingjay", dckpt=dck, ckpt="",
+                 upstream="baseline", from_rawfeature=True,
+                 from_waveform=False)
+    ckd = tmp_path / "trained"
+    save_checkpoint(str(ckd), 100, params, {}, config, paras)
+
+    enhance = serve.build_enhancer(str(ckd), 16000, -25.0)
+    wav = (0.1 * np.random.default_rng(3).standard_normal(9000)).astype(
+        np.float32
+    )
+    out = enhance(wav)
+    assert out.shape == wav.shape and np.isfinite(out).all()
+
+
+def test_serve_rawfeature_ckpt_defines_stft_geometry(tmp_path):
+    """Training reads the preprocessor geometry from the recorded
+    pretraining ckpt whenever --ckpt is set — even for rawfeature heads
+    with a baseline upstream (run_downstream._pretrain_config:144-154).
+    Serving must do the same: a checkpoint trained at 161-bin/20 ms
+    geometry gets that geometry back, not the 201-bin default."""
+    import torch
+
+    sys.path.insert(0, REPO)
+    import serve
+    from speech_enhancement_by_s3prl_tpu.runner.checkpoint import (
+        save_checkpoint,
+    )
+
+    pre_cfg = {
+        "transformer": {"input_dim": 161, "hidden_size": 32,
+                        "num_hidden_layers": 1, "num_attention_heads": 2,
+                        "intermediate_size": 48, "hidden_act": "gelu",
+                        "hidden_dropout_prob": 0.0,
+                        "attention_probs_dropout_prob": 0.0,
+                        "layer_norm_eps": 1e-12, "share_layer": False,
+                        "downsample_rate": 1},
+        "online": {"sample_rate": 16000, "win_ms": 20, "hop_ms": 10,
+                   "n_freq": 161, "n_mels": 40, "n_mfcc": 13,
+                   "input": {"feat_type": "linear", "channel": 0,
+                             "log": False, "delta": 0, "cmvn": False},
+                   "target": {"feat_type": "linear", "channel": 1,
+                              "log": False, "delta": 0, "cmvn": False}},
+    }
+    pck = str(tmp_path / "states-50.ckpt")
+    torch.save({"Settings": {"Config": pre_cfg, "Paras": {}}}, pck)
+
+    model = build_head("LSTM", input_size=161, output_size=161,
+                       hidden_size=8, num_layers=1, bidirectional=True)
+    params = model.init(
+        jax.random.key(0),
+        features=jnp.zeros((1, 12, 161)), linears=jnp.zeros((1, 12, 161)),
+    )
+    config = {
+        "preprocessor": {
+            "input_channel": 0, "target_channel": 1,
+            "baseline": {"feat_type": "linear", "log": False, "delta": 0,
+                         "cmvn": False},
+        },
+        "model": {"LSTM": {"hidden_size": 8, "num_layers": 1,
+                           "bidirectional": True}},
+    }
+    paras = dict(downstream="LSTM", dckpt="", ckpt=pck,
+                 upstream="baseline", from_rawfeature=True,
+                 from_waveform=False)
+    ckd = tmp_path / "trained"
+    save_checkpoint(str(ckd), 50, params, {}, config, paras)
+
+    enhance = serve.build_enhancer(str(ckd), 16000, -25.0)
+    wav = (0.1 * np.random.default_rng(9).standard_normal(8000)).astype(
+        np.float32
+    )
+    out = enhance(wav)
+    assert out.shape == wav.shape and np.isfinite(out).all()
+
+    # stale recorded geometry source fails loudly with the relocation hint
+    paras2 = dict(paras, ckpt="/nonexistent/states-9.ckpt")
+    broken = tmp_path / "broken"
+    save_checkpoint(str(broken), 50, params, {}, config, paras2)
+    with pytest.raises(SystemExit, match="geometry"):
+        serve.build_raw_enhancer(str(broken), 16000, -25.0)
+
+
 def test_export_artifact_upstream_backed(upstream_ckpt_dir, tmp_path):
     """scripts/export_model.py bakes upstream+head into one StableHLO
     program; artifact serving returns the live path's audio."""
