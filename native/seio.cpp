@@ -129,6 +129,9 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     uint32_t type = (uint32_t)br.read_bits(6);
     int wasted = 0;
     if (br.read_bit()) wasted = 1 + (int)br.read_unary();
+    // corrupt input can claim absurd wasted-bit counts; the shift at the
+    // end must stay defined and bps must stay positive
+    if (wasted >= bps || wasted > 32) return false;
     bps -= wasted;
 
     out.assign(block_size, 0);
@@ -139,6 +142,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
     } else if (type >= 8 && type <= 12) {  // fixed, order 0-4
         int order = type - 8;
+        if (order > block_size) return false;  // warm-up would overrun out
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
         if (!read_residual(br, block_size, order, out)) return false;
         for (int i = order; i < block_size; ++i) {
@@ -149,6 +153,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         }
     } else if (type >= 32) {  // LPC, order 1-32
         int order = (int)(type - 31);
+        if (order > block_size) return false;  // warm-up would overrun out
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
         int precision = (int)br.read_bits(4) + 1;
         if (precision == 16) return false;  // invalid escape
@@ -186,8 +191,12 @@ extern "C" {
 
 // Decode a FLAC file into interleaved float32 [-1, 1].
 // Returns 0 on success. Caller frees *out with seio_free.
-int seio_decode_flac(const uint8_t* data, size_t size, float** out,
-                     int64_t* n_samples, int* n_channels, int* sample_rate) {
+// Negative returns are clean failures; corrupt/hostile input must never
+// crash the host process (the decoder runs in-process via ctypes inside
+// long-lived training/serving processes — fuzzed in tests/test_flac.py).
+static int decode_flac_impl(const uint8_t* data, size_t size, float** out,
+                            int64_t* n_samples, int* n_channels,
+                            int* sample_rate) {
     if (size < 42 || memcmp(data, "fLaC", 4) != 0) return -1;
     size_t pos = 4;
     StreamInfo info;
@@ -198,7 +207,7 @@ int seio_decode_flac(const uint8_t* data, size_t size, float** out,
         int type = head & 0x7F;
         uint32_t len = (data[pos + 1] << 16) | (data[pos + 2] << 8) | data[pos + 3];
         pos += 4;
-        if (type == 0 && len >= 34) {  // STREAMINFO
+        if (type == 0 && len >= 34 && pos + 34 <= size) {  // STREAMINFO
             const uint8_t* p = data + pos;
             info.sample_rate = (p[10] << 12) | (p[11] << 4) | (p[12] >> 4);
             info.channels = ((p[12] >> 1) & 0x7) + 1;
@@ -206,16 +215,21 @@ int seio_decode_flac(const uint8_t* data, size_t size, float** out,
             info.total_samples = ((uint64_t)(p[13] & 0x0F) << 32) |
                 ((uint64_t)p[14] << 24) | (p[15] << 16) | (p[16] << 8) | p[17];
         }
-        pos += len;
+        pos += len;  // may pass `size` on a lying metadata length
     }
-    if (info.sample_rate == 0 || info.channels == 0) return -2;
+    if (pos > size) return -2;  // metadata overran the file
+    if (info.sample_rate == 0 || info.channels == 0 || info.bps < 4)
+        return -2;
 
-    std::vector<std::vector<int64_t>> chan(info.channels);
-    std::vector<int64_t> sub;
     std::vector<std::vector<int64_t>> subs(info.channels);
     std::vector<float> pcm;
-    if (info.total_samples)
-        pcm.reserve((size_t)info.total_samples * info.channels);
+    // a lying STREAMINFO must not trigger a giant allocation up front;
+    // legit sizes pre-reserve, the vector grows past the cap if needed
+    const size_t kReserveCap = (size_t)1 << 26;  // 64 M floats = 256 MB
+    if (info.total_samples) {
+        size_t want = (size_t)info.total_samples * info.channels;
+        pcm.reserve(want < kReserveCap ? want : kReserveCap);
+    }
 
     BitReader br(data + pos, size - pos);
     while (!br.at_end() && !br.error) {
@@ -263,9 +277,14 @@ int seio_decode_flac(const uint8_t* data, size_t size, float** out,
         bool left_side = false, right_side = false, mid_side = false;
         if (ch_code <= 7) {
             if ((int)ch_code + 1 != nch) { br.error = true; break; }
-        } else if (ch_code == 8) { left_side = true; nch = 2; }
-        else if (ch_code == 9) { right_side = true; nch = 2; }
-        else if (ch_code == 10) { mid_side = true; nch = 2; }
+        } else if (ch_code <= 10) {
+            // stereo decorrelation modes index subs[0]/subs[1], which are
+            // only provisioned for a 2-channel stream
+            if (nch != 2) { br.error = true; break; }
+            left_side = ch_code == 8;
+            right_side = ch_code == 9;
+            mid_side = ch_code == 10;
+        }
         else { br.error = true; break; }
 
         bool ok = true;
@@ -307,6 +326,10 @@ int seio_decode_flac(const uint8_t* data, size_t size, float** out,
         if (info.total_samples &&
             pcm.size() >= info.total_samples * (size_t)info.channels)
             break;
+        // unknown-length stream (total_samples == 0): bound the output so
+        // a corrupt file full of cheap high-inflation frames (a 15-byte
+        // 65536-sample constant frame) cannot grow pcm without limit
+        if (!info.total_samples && pcm.size() > ((size_t)1 << 28)) break;
     }
 
     if (pcm.empty()) return -3;
@@ -322,6 +345,18 @@ int seio_decode_flac(const uint8_t* data, size_t size, float** out,
     *n_channels = info.channels;
     *sample_rate = (int)info.sample_rate;
     return 0;
+}
+
+int seio_decode_flac(const uint8_t* data, size_t size, float** out,
+                     int64_t* n_samples, int* n_channels, int* sample_rate) {
+    // no exception may cross the C ABI: a hostile allocation request
+    // (bad_alloc/length_error) is a decode failure, not a process abort
+    try {
+        return decode_flac_impl(data, size, out, n_samples, n_channels,
+                                sample_rate);
+    } catch (...) {
+        return -5;
+    }
 }
 
 void seio_free(float* p) { free(p); }

@@ -260,3 +260,114 @@ def test_stereo_decorrelation(lib_available, tmp_path, mode):
     assert wav.shape == (2, 4096)
     np.testing.assert_allclose(wav[0], left / 32768.0, atol=1e-7)
     np.testing.assert_allclose(wav[1], right / 32768.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Robustness: corrupt / hostile input must fail cleanly, never crash.
+#
+# The decoder runs in-process via ctypes inside long-lived training and
+# serving processes, so a malformed file (truncated download, bit rot, or
+# adversarial content) must surface as ValueError from read_flac — a segfault
+# or std::bad_alloc abort would take the whole process down. These tests
+# exercise the guards in native/seio.cpp:decode_flac_impl.
+# ---------------------------------------------------------------------------
+
+
+def assert_rejects(data, tmp_path, name):
+    with pytest.raises(ValueError):
+        decode(data, tmp_path, name)
+
+
+def test_corrupt_not_flac(lib_available, tmp_path):
+    assert_rejects(b"RIFF" + b"\x00" * 100, tmp_path, "notflac.flac")
+    assert_rejects(b"fLaC", tmp_path, "tiny.flac")
+
+
+def test_corrupt_metadata_length_overruns_file(lib_available, tmp_path):
+    # metadata block claims a length far past EOF
+    data = b"fLaC" + bytes([0x00]) + (0xFFFFFF).to_bytes(3, "big") + b"\x00" * 8
+    assert_rejects(data, tmp_path, "metaover.flac")
+
+
+def test_corrupt_streaminfo_zero_rate(lib_available, tmp_path):
+    data = streaminfo(0, 1, 16, 4096)
+    assert_rejects(data + b"\x00" * 16, tmp_path, "zerorate.flac")
+
+
+def test_corrupt_wasted_bits_exceed_bps(lib_available, tmp_path):
+    # subframe claims >= bps wasted bits: the sample shift would be UB
+    samples = np.zeros(4096, dtype=np.int64)
+    bw = BitWriter()
+    bw.write(0, 1)        # padding
+    bw.write(0, 6)        # constant subframe
+    bw.write(1, 1)        # wasted-bits flag set
+    bw.write_unary(20)    # wasted = 21 > bps 16
+    bw.write(0, 16)
+    data = streaminfo(16000, 1, 16, 4096)
+    data += frame_header(0b1100, 0) + bw.bytes() + b"\x00\x00"
+    assert_rejects(data, tmp_path, "wasted.flac")
+
+
+def test_corrupt_stereo_mode_on_mono_stream(lib_available, tmp_path):
+    # left/side channel mode inside a stream whose STREAMINFO says mono:
+    # decorrelation indexes subs[1], which is not provisioned
+    samples = np.zeros(16, dtype=np.int64)
+    body = encode_verbatim_bits(samples, 16)
+    data = (
+        streaminfo(16000, 1, 16, 16)
+        + _stereo_frame_header(8)      # left/side on a mono stream
+        + body.bytes()
+        + b"\x00\x00"
+    )
+    assert_rejects(data, tmp_path, "monoside.flac")
+
+
+def test_corrupt_giant_total_samples_no_alloc_abort(lib_available, tmp_path):
+    # lying STREAMINFO total_samples (2^36-1) must not pre-reserve ~256 GB
+    samples = np.full(4096, 42, dtype=np.int64)
+    data = streaminfo(16000, 1, 16, (1 << 36) - 1)
+    data += frame_header(0b1100, 0) + encode_constant(42).bytes() + b"\x00\x00"
+    wav, sr = decode(data, tmp_path, "gianttotal.flac")
+    # decodes what's actually present and stops at EOF
+    assert wav.shape == (1, 4096)
+    np.testing.assert_allclose(wav[0], 42 / 32768.0, atol=1e-7)
+
+
+def test_corrupt_truncated_mid_frame(lib_available, tmp_path):
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, size=4096, dtype=np.int64)
+    data = build_flac(encode_verbatim(samples), samples)
+    truncated = data[: len(data) // 2]
+    # either a clean reject or a shorter decode is acceptable; no crash
+    try:
+        wav, _ = decode(truncated, tmp_path, "trunc.flac")
+        assert wav.shape[1] <= 4096
+    except ValueError:
+        pass
+
+
+def test_fuzz_random_mutations_never_crash(lib_available, tmp_path):
+    """200 random single/multi-byte mutations of a valid stream."""
+    rng = np.random.default_rng(11)
+    samples = np.cumsum(rng.integers(-7, 8, size=4096)).astype(np.int64)
+    base = bytearray(build_flac(encode_fixed1_rice(samples), samples))
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(int(rng.integers(1, 8))):
+            pos = int(rng.integers(0, len(data)))
+            data[pos] = int(rng.integers(0, 256))
+        try:
+            decode(bytes(data), tmp_path, f"fz{trial}.flac")
+        except ValueError:
+            pass
+
+
+def test_fuzz_random_garbage_never_crashes(lib_available, tmp_path):
+    rng = np.random.default_rng(13)
+    for trial in range(50):
+        n = int(rng.integers(4, 4096))
+        data = b"fLaC" + rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        try:
+            decode(data, tmp_path, f"gb{trial}.flac")
+        except ValueError:
+            pass
