@@ -146,10 +146,12 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
         if (!read_residual(br, block_size, order, out)) return false;
         for (int i = order; i < block_size; ++i) {
-            int64_t pred = 0;
+            // accumulate in uint64_t: corrupt residuals can be huge, and
+            // signed overflow is UB — wraparound matches valid-stream math
+            uint64_t pred = 0;
             for (int j = 0; j < order; ++j)
-                pred += (int64_t)FIXED_COEFFS[order][j] * out[i - 1 - j];
-            out[i] += pred;
+                pred += (uint64_t)FIXED_COEFFS[order][j] * (uint64_t)out[i - 1 - j];
+            out[i] = (int64_t)((uint64_t)out[i] + pred);
         }
     } else if (type >= 32) {  // LPC, order 1-32
         int order = (int)(type - 31);
@@ -158,18 +160,21 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         int precision = (int)br.read_bits(4) + 1;
         if (precision == 16) return false;  // invalid escape
         int shift = (int)br.read_signed(5);
+        if (shift < 0) return false;  // negative shift is invalid FLAC
         std::vector<int64_t> coeffs(order);
         for (int i = 0; i < order; ++i) coeffs[i] = br.read_signed(precision);
         if (!read_residual(br, block_size, order, out)) return false;
         for (int i = order; i < block_size; ++i) {
-            int64_t pred = 0;
-            for (int j = 0; j < order; ++j) pred += coeffs[j] * out[i - 1 - j];
-            out[i] += (pred >> shift);
+            uint64_t pred = 0;  // unsigned: see fixed-predictor note above
+            for (int j = 0; j < order; ++j)
+                pred += (uint64_t)coeffs[j] * (uint64_t)out[i - 1 - j];
+            out[i] = (int64_t)((uint64_t)out[i] + (uint64_t)((int64_t)pred >> shift));
         }
     } else {
         return false;  // reserved
     }
-    if (wasted) for (auto& v : out) v <<= wasted;
+    if (wasted)
+        for (auto& v : out) v = (int64_t)((uint64_t)v << wasted);
     return !br.error;
 }
 
