@@ -3,8 +3,9 @@
 // The reference leans on librosa/torchaudio (and their C deps) for audio
 // I/O (/root/reference/dataset.py:114,234). This library provides the
 // native decode path for this framework: a full FLAC decoder (the format
-// LibriSpeech ships in — see libri-*.txt lists) and 16/24/32-bit PCM WAV,
-// exposed through a C ABI consumed via ctypes (data/flac.py).
+// LibriSpeech ships in — see libri-*.txt lists), exposed through a C ABI
+// consumed via ctypes (data/flac.py). WAV decoding is a vectorized numpy
+// RIFF parser (data/audio_io.py) — already memory-bandwidth-bound there.
 //
 // FLAC support: STREAMINFO parsing; frames with independent/left-side/
 // right-side/mid-side channel assignments; constant/verbatim/fixed(0-4)/

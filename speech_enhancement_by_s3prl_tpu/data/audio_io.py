@@ -51,14 +51,20 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         if fmt is None or data is None:
             raise ValueError(f"missing fmt/data chunk: {path}")
 
+    if len(fmt) < 16:
+        raise ValueError(f"truncated fmt chunk: {path}")
     (audio_format, n_channels, sample_rate, _, _, bits) = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
     if audio_format == 0xFFFE and len(fmt) >= 40:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = struct.unpack("<H", fmt[24:26])[0]
 
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"invalid WAV header (channels/rate): {path}")
     sampwidth = bits // 8
     if audio_format == 1:  # PCM
+        if sampwidth not in (1, 2, 3, 4):
+            raise ValueError(f"unsupported PCM width {bits}: {path}")
         if sampwidth == 3:
             raw = np.frombuffer(data, dtype=np.uint8)
             raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
@@ -71,10 +77,16 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             samples = ints.astype(np.float32) / float(1 << 23)
         else:
             dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
-            samples = _pcm_to_float(np.frombuffer(data, dtype=dtype), sampwidth)
+            n = len(data) - len(data) % sampwidth
+            samples = _pcm_to_float(
+                np.frombuffer(data[:n], dtype=dtype), sampwidth
+            )
     elif audio_format == 3:  # IEEE float
+        if sampwidth not in (4, 8):
+            raise ValueError(f"unsupported float width {bits}: {path}")
         dtype = {4: np.float32, 8: np.float64}[sampwidth]
-        samples = np.frombuffer(data, dtype=dtype).astype(np.float32)
+        n = len(data) - len(data) % sampwidth
+        samples = np.frombuffer(data[:n], dtype=dtype).astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV format {audio_format}: {path}")
 

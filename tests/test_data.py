@@ -297,3 +297,53 @@ def test_infinite_iterator_wraps(corpus):
     n_batches = len(loader)
     seen = [next(it) for _ in range(n_batches * 2 + 1)]  # wraps twice
     assert len(seen) == n_batches * 2 + 1
+
+
+def test_read_wav_corrupt_inputs_raise_valueerror(tmp_path):
+    """Corrupt WAV bytes must surface as ValueError, never a raw
+    ZeroDivisionError/KeyError/struct.error from parser internals."""
+    import struct as _struct
+
+    def wav_bytes(audio_format=1, channels=1, rate=16000, bits=16,
+                  data=b"\x00\x00" * 8, fmt_trunc=None):
+        fmt = _struct.pack("<HHIIHH", audio_format, channels, rate,
+                           rate * channels * (bits // 8 or 1),
+                           channels * (bits // 8 or 1), bits)
+        if fmt_trunc is not None:
+            fmt = fmt[:fmt_trunc]
+        body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + _struct.pack("<I", len(data)) + data
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    cases = {
+        "notriff.wav": b"OggS" + b"\x00" * 40,
+        "zerochan.wav": wav_bytes(channels=0),
+        "zerorate.wav": wav_bytes(rate=0),
+        "badbits.wav": wav_bytes(bits=7),
+        "zerobits.wav": wav_bytes(bits=0),
+        "badfloat.wav": wav_bytes(audio_format=3, bits=16),
+        "badfmt.wav": wav_bytes(audio_format=0x55),
+        "shortfmt.wav": wav_bytes(fmt_trunc=10),
+        "nodata.wav": b"RIFF" + _struct.pack("<I", 4) + b"WAVE",
+    }
+    for name, raw in cases.items():
+        p = tmp_path / name
+        p.write_bytes(raw)
+        with pytest.raises(ValueError):
+            read_wav(str(p))
+
+
+def test_read_wav_ragged_data_chunk(tmp_path):
+    """A data chunk that is not a multiple of the sample width decodes the
+    whole frames present instead of raising."""
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = b"\x01\x00\x02\x00\x03"  # 2.5 int16 samples
+    body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", len(data)) + data + b"\x00"
+    raw = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    p = tmp_path / "ragged.wav"
+    p.write_bytes(raw)
+    out, sr = read_wav(str(p))
+    assert sr == 16000 and out.shape == (1, 2)
