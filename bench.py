@@ -45,7 +45,109 @@ ALL_MODES = [
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64"}),
     ("score", {"BENCH_MODE": "score"}),
+    ("loader", {"BENCH_MODE": "loader"}),
 ]
+
+
+def bench_loader():
+    """Host input-pipeline throughput: file decode + on-the-fly SNR mixing
+    + bucketed collate through OnlineDataset/DataLoader, no accelerator
+    involved. Runs anywhere and never claims the (single-client) TPU.
+
+    The number is per-HOST-CORE-POOL, not per chip: this relay host has
+    one core, a real TPU-VM host has ~100+, and the loader's thread
+    workers scale with them (decode is ctypes/numpy, mostly GIL-free).
+    """
+    import tempfile
+
+    from speech_enhancement_by_s3prl_tpu.data.audio_io import write_wav
+    from speech_enhancement_by_s3prl_tpu.data.datasets import OnlineDataset
+    from speech_enhancement_by_s3prl_tpu.data.loader import (
+        DataLoader,
+        default_buckets,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    n_speech = int(os.environ.get("BENCH_LOADER_FILES", "64"))
+    fmt = os.environ.get("BENCH_LOADER_FORMAT", "wav")
+    with tempfile.TemporaryDirectory() as root:
+        sdir, ndir = os.path.join(root, "s"), os.path.join(root, "n")
+        os.makedirs(sdir), os.makedirs(ndir)
+        if fmt == "flac":
+            # the FLAC *encoder* lives in the test suite only (production
+            # scope is decode); reuse it to exercise the native decoder
+            from tests.test_flac import (
+                encode_fixed1_rice,
+                frame_header,
+                streaminfo,
+            )
+            for i in range(n_speech):
+                n_frames = int(rng.integers(24, 40))  # 6.1-10.2 s @ 16 kHz
+                data = streaminfo(sr, 1, 16, n_frames * 4096)
+                for fi in range(n_frames):
+                    samples = np.cumsum(
+                        rng.integers(-7, 8, size=4096)
+                    ).astype(np.int64)
+                    data += (
+                        frame_header(0b1100, fi)
+                        + encode_fixed1_rice(samples).bytes()
+                        + b"\x00\x00"
+                    )
+                with open(os.path.join(sdir, f"s{i:03d}.flac"), "wb") as f:
+                    f.write(data)
+        else:
+            for i in range(n_speech):
+                n = int(sr * rng.uniform(6.0, 10.0))
+                t = np.arange(n) / sr
+                f0 = rng.uniform(100, 300)
+                wav = 0.25 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(n)
+                write_wav(os.path.join(sdir, f"s{i:03d}.wav"),
+                          wav.astype(np.float32), sr)
+        for i in range(16):
+            n = int(sr * rng.uniform(2.0, 5.0))
+            write_wav(os.path.join(ndir, f"n{i:03d}.wav"),
+                      (0.2 * rng.standard_normal(n)).astype(np.float32), sr)
+
+        dataset = OnlineDataset(
+            speech={"filestrs": [sdir]}, noise={"filestrs": [ndir]},
+            sample_rate=sr, max_time=60000, snrs=(-6, -3, 0, 3, 6),
+            infinite=True,
+        )
+        batch = int(os.environ.get("BENCH_BATCH", "16"))
+        workers = int(os.environ.get("BENCH_LOADER_WORKERS", "4"))
+        loader = DataLoader(
+            dataset, batch_size=batch, num_workers=workers,
+            buckets=default_buckets(), seed=0,
+        )
+
+        def epoch_stats():
+            audio_s, utts = 0.0, 0
+            for lengths, wavs, *rest in loader:
+                audio_s += float(np.sum(lengths)) / sr
+                utts += len(lengths)
+            return audio_s, utts
+
+        epoch_stats()  # warmup: page cache, thread pool, allocator
+        iters = int(os.environ.get("BENCH_ITERS", "3"))
+        times, audio_total, utt_total = [], 0.0, 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            a, u = epoch_stats()
+            times.append(time.perf_counter() - t0)
+            audio_total += a
+            utt_total += u
+        dt = float(np.sum(times))
+        rtf = audio_total / dt
+        print(json.dumps({
+            "metric": "loader_audio_rtf_per_host",
+            "value": round(rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtf / 10.0, 3),
+            "utts_per_sec": round(utt_total / dt, 2),
+            "workers": workers,
+            "format": fmt,
+        }))
 
 
 def run_all():
@@ -113,6 +215,10 @@ def main():
         # dispatch before any jax import: the parent must not claim the
         # (single-client) TPU that its mode subprocesses need
         run_all()
+        return
+    if os.environ.get("BENCH_MODE") == "loader":
+        # host-only: must run before any jax/device setup below
+        bench_loader()
         return
     # bf16 STORAGE of the LSTM input projections halves the dominant HBM
     # stream (+25% RTF at B=512; output fidelity vs f32 measured at

@@ -103,3 +103,26 @@ def test_graft_entry_jittable():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (args[1].shape[0], args[1].shape[-1])
+
+
+def test_bench_loader_mode():
+    """Host-only input-pipeline bench: no device, tiny corpus, both
+    formats produce the JSON contract."""
+    for fmt in ("wav", "flac"):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            BENCH_MODE="loader",
+            BENCH_ITERS="1",
+            BENCH_LOADER_FILES="6",
+            BENCH_LOADER_FORMAT=fmt,
+            BENCH_BATCH="4",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=600, check=True,
+        )
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        assert payload["metric"] == "loader_audio_rtf_per_host"
+        assert payload["value"] > 0
+        assert payload["format"] == fmt
