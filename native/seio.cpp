@@ -167,6 +167,44 @@ bool read_residual(BitReader& br, int block_size, int pred_order,
     return idx == block_size;
 }
 
+// LPC prediction with the order as a compile-time constant so the
+// coefficient loop fully unrolls (the runtime-order loop measured ~40%
+// slower on order-8 streams — the order real LibriSpeech FLAC uses).
+// uint64_t math throughout: corrupt residuals can be huge and signed
+// overflow is UB; wraparound matches valid-stream arithmetic.
+template <int ORDER>
+void lpc_predict_n(uint64_t* o, const uint64_t* c, int block_size,
+                   int shift) {
+    for (int i = ORDER; i < block_size; ++i) {
+        uint64_t pred = 0;
+        for (int j = 0; j < ORDER; ++j) pred += c[j] * o[i - 1 - j];
+        o[i] += (uint64_t)((int64_t)pred >> shift);
+    }
+}
+
+void lpc_predict(uint64_t* o, const uint64_t* c, int order, int block_size,
+                 int shift) {
+    switch (order) {
+        case 1: lpc_predict_n<1>(o, c, block_size, shift); return;
+        case 2: lpc_predict_n<2>(o, c, block_size, shift); return;
+        case 3: lpc_predict_n<3>(o, c, block_size, shift); return;
+        case 4: lpc_predict_n<4>(o, c, block_size, shift); return;
+        case 5: lpc_predict_n<5>(o, c, block_size, shift); return;
+        case 6: lpc_predict_n<6>(o, c, block_size, shift); return;
+        case 7: lpc_predict_n<7>(o, c, block_size, shift); return;
+        case 8: lpc_predict_n<8>(o, c, block_size, shift); return;
+        case 9: lpc_predict_n<9>(o, c, block_size, shift); return;
+        case 10: lpc_predict_n<10>(o, c, block_size, shift); return;
+        case 11: lpc_predict_n<11>(o, c, block_size, shift); return;
+        case 12: lpc_predict_n<12>(o, c, block_size, shift); return;
+    }
+    for (int i = order; i < block_size; ++i) {
+        uint64_t pred = 0;
+        for (int j = 0; j < order; ++j) pred += c[j] * o[i - 1 - j];
+        o[i] += (uint64_t)((int64_t)pred >> shift);
+    }
+}
+
 bool decode_subframe(BitReader& br, int block_size, int bps,
                      std::vector<int64_t>& out) {
     if (br.read_bit() != 0) return false;  // padding bit
@@ -221,15 +259,12 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         if (precision == 16) return false;  // invalid escape
         int shift = (int)br.read_signed(5);
         if (shift < 0) return false;  // negative shift is invalid FLAC
-        std::vector<int64_t> coeffs(order);
-        for (int i = 0; i < order; ++i) coeffs[i] = br.read_signed(precision);
+        uint64_t coeffs[32];
+        for (int i = 0; i < order; ++i)
+            coeffs[i] = (uint64_t)br.read_signed(precision);
         if (!read_residual(br, block_size, order, out)) return false;
-        for (int i = order; i < block_size; ++i) {
-            uint64_t pred = 0;  // unsigned: see fixed-predictor note above
-            for (int j = 0; j < order; ++j)
-                pred += (uint64_t)coeffs[j] * (uint64_t)out[i - 1 - j];
-            out[i] = (int64_t)((uint64_t)out[i] + (uint64_t)((int64_t)pred >> shift));
-        }
+        lpc_predict((uint64_t*)out.data(), coeffs, order, block_size,
+                    shift);
     } else {
         return false;  // reserved
     }

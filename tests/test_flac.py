@@ -371,3 +371,52 @@ def test_fuzz_random_garbage_never_crashes(lib_available, tmp_path):
             decode(data, tmp_path, f"gb{trial}.flac")
         except ValueError:
             pass
+
+
+def encode_lpc_rice(samples, coeffs, shift, precision=15, rice_param=6):
+    """General LPC subframe: x[i] = res + ((sum coeffs[j]*x[i-1-j]) >> shift).
+    coeffs[0] multiplies the most recent sample (FLAC convention)."""
+    order = len(coeffs)
+    bw = BitWriter()
+    bw.write(0, 1)
+    bw.write(32 + (order - 1), 6)
+    bw.write(0, 1)
+    for i in range(order):
+        bw.write(int(samples[i]) & 0xFFFF, 16)
+    bw.write(precision - 1, 4)
+    bw.write(shift, 5)
+    mask = (1 << precision) - 1
+    for c in coeffs:
+        bw.write(int(c) & mask, precision)
+    bw.write(0, 2)            # rice method 0
+    bw.write(0, 4)            # partition order 0
+    bw.write(rice_param, 4)
+    for i in range(order, len(samples)):
+        pred = sum(int(coeffs[j]) * int(samples[i - 1 - j])
+                   for j in range(order)) >> shift
+        res = int(samples[i]) - pred
+        zz = (res << 1) if res >= 0 else ((-res) << 1) - 1
+        q, r = zz >> rice_param, zz & ((1 << rice_param) - 1)
+        bw.write_unary(q)
+        bw.write(r, rice_param)
+    return bw
+
+
+def test_lpc_order8_subframe(lib_available, tmp_path):
+    """Order-8 LPC (the order real LibriSpeech FLAC typically uses)."""
+    rng = np.random.default_rng(9)
+    samples = np.cumsum(rng.integers(-25, 26, size=4096)).astype(np.int64)
+    # a mildly smoothing stable predictor, quantized at shift 6
+    coeffs = [90, -30, 20, -12, 8, -5, 3, -2]
+    data = build_flac(encode_lpc_rice(samples, coeffs, 6), samples)
+    wav, sr = decode(data, tmp_path, "lpc8.flac")
+    np.testing.assert_allclose(wav[0], samples / 32768.0, atol=1e-7)
+
+
+def test_lpc_order12_subframe(lib_available, tmp_path):
+    rng = np.random.default_rng(10)
+    samples = np.cumsum(rng.integers(-25, 26, size=4096)).astype(np.int64)
+    coeffs = [70, -25, 15, -10, 7, -5, 4, -3, 2, -2, 1, -1]
+    data = build_flac(encode_lpc_rice(samples, coeffs, 6), samples)
+    wav, sr = decode(data, tmp_path, "lpc12.flac")
+    np.testing.assert_allclose(wav[0], samples / 32768.0, atol=1e-7)
