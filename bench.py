@@ -36,15 +36,26 @@ import numpy as np
 # (name, env overrides) — every mode of the scoreboard. Batch/dtype
 # follow the measured per-mode sweet spots (docs/PERF.md).
 ALL_MODES = [
-    ("enhance", {"BENCH_MODE": "enhance"}),
-    ("train", {"BENCH_MODE": "train"}),
-    ("eval", {"BENCH_MODE": "eval"}),
-    ("eval_full", {"BENCH_MODE": "eval",
+    # inference modes default to the time-major Pallas recurrence
+    # (+33% over the scan champion, docs/PERF.md round-3 table); the
+    # AOT exec cache absorbs its per-process Mosaic recompile. Gradient
+    # modes pin it OFF (kernel is forward-only — training/scoring
+    # differentiate the scan path).
+    ("enhance", {"BENCH_MODE": "enhance", "SE_PALLAS_LSTM": "1"}),
+    ("train", {"BENCH_MODE": "train", "SE_PALLAS_LSTM": "0"}),
+    # eval's surrounding program leaves ~820KB less scoped VMEM than
+    # enhance's, tipping the B=768 time-major kernel just over the 16MB
+    # limit; the bf16 hidden-state OUT stream (measured cost ~0) frees
+    # 1.5MB and fits it.
+    ("eval", {"BENCH_MODE": "eval", "SE_PALLAS_LSTM": "1",
+              "SE_PALLAS_HS_BF16": "1"}),
+    ("eval_full", {"BENCH_MODE": "eval", "SE_PALLAS_LSTM": "1",
+                   "SE_PALLAS_HS_BF16": "1",
                    "BENCH_EVAL_METRICS": "sisdr,stoi,estoi,pesq_nb,pesq_wb"}),
     ("upstream", {"BENCH_MODE": "upstream"}),
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
-                    "BENCH_BATCH": "64"}),
-    ("score", {"BENCH_MODE": "score"}),
+                    "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0"}),
+    ("score", {"BENCH_MODE": "score", "SE_PALLAS_LSTM": "0"}),
     ("loader", {"BENCH_MODE": "loader"}),
 ]
 
@@ -448,7 +459,42 @@ def main():
         # metric intermediates' peak HBM; together these raise the eval
         # ceiling from B=640 to the faster B=768 (docs/PERF.md eval table).
         os.environ.setdefault("SE_METRIC_CHUNK", "128")
-        step = builder.eval_step_fn(wav_out="first")
+        # AOT exec cache for the eval step too: with the (default) Pallas
+        # recurrence the persistent HLO cache skips the Mosaic custom-call
+        # program, so later processes would otherwise recompile (~30s-3min
+        # through the tunnel).
+        step = None
+        if (
+            os.environ.get("SE_EXEC_CACHE", "1") == "1"
+            and jax.default_backend() != "cpu"
+        ):
+            from speech_enhancement_by_s3prl_tpu.models.lstm import (
+                DEFAULT_UNROLL,
+            )
+            from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+                compile_cached,
+            )
+
+            env_key = ",".join(
+                f"{k}={os.environ.get(k, '')}"
+                for k in (
+                    "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
+                    "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
+                    "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
+                    "SE_PALLAS_HS_BF16", "SE_METRIC_CHUNK",
+                    "BENCH_EVAL_METRICS", "SE_METRIC_PRECISION",
+                )
+            ) + f",unroll={DEFAULT_UNROLL}"
+            up = builder.upstream_params()
+            raw = compile_cached(
+                builder.eval_step_raw(wav_out="first"),
+                state.params, wavs, lengths, up,
+                fn_key=f"bench_eval|{env_key}", verbose=True,
+            )
+            if raw is not None:
+                step = lambda p, w, l: raw(p, w, l, up)  # noqa: E731
+        if step is None:
+            step = builder.eval_step_fn(wav_out="first")
         out = step(state.params, wavs, lengths)  # compile + warmup
         float(out["loss"])
         times = []
@@ -499,6 +545,8 @@ def main():
             for k in (
                 "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
                 "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
+                "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
+                "SE_PALLAS_HS_BF16",
             )
         ) + f",unroll={DEFAULT_UNROLL}"
         fn = compile_cached(

@@ -14,6 +14,7 @@ Registry replaces the reference's ``eval(args.downstream)`` factory
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -191,6 +192,15 @@ def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.
     }
     assert model_name in registry, f"unknown downstream model {model_name}"
     cls = registry[model_name]
+
+    # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel on every
+    # surface that builds a head (serve/enhance/eval CLIs) without
+    # plumbing a flag through each. Inference-only: the kernel has no
+    # VJP — training differentiates the scan path, so leave this unset
+    # (or pass use_pallas explicitly) when computing gradients.
+    if "use_pallas" not in cfg and os.environ.get("SE_PALLAS_LSTM", "0") == "1":
+        cfg = dict(cfg)
+        cfg["use_pallas"] = True
 
     # ckpt-backed heads: module structure (transformer config, log-domain
     # flag, and for Mockingjay the output width) comes from the pretraining

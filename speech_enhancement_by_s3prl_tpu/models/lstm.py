@@ -175,6 +175,12 @@ class LSTMStack(nn.Module):
     # backward pass), roughly halving training memory per layer
     remat: bool = os.environ.get("SE_LSTM_REMAT", "0") == "1"
 
+    def _interpret(self) -> bool:
+        # Mosaic kernels only lower for TPU; on CPU (tests, --cpu CLI
+        # runs with SE_PALLAS_LSTM=1 in the env) fall back to Pallas
+        # interpret mode instead of failing to compile
+        return self.pallas_interpret or jax.default_backend() == "cpu"
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt = self.compute_dtype
@@ -203,7 +209,7 @@ class LSTMStack(nn.Module):
                         axis=0,
                     ),
                     jnp.stack([pf["w_hh"].T, pb["w_hh"].T], axis=0),
-                    interpret=self.pallas_interpret,
+                    interpret=self._interpret(),
                 )
                 x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
                 continue
@@ -224,7 +230,10 @@ class LSTMStack(nn.Module):
                     [pf["w_hh"].T, pb["w_hh"].T], axis=0
                 ).astype(dt)  # (2, H, 4H)
                 if self.use_pallas:
-                    from ..ops.pallas.lstm_kernel import lstm_bidir_pallas
+                    from ..ops.pallas.lstm_kernel import (
+                        lstm_bidir_pallas,
+                        lstm_bidir_pallas_tm,
+                    )
 
                     # honor the xw storage mode: bf16 halves the kernel's
                     # dominant HBM stream exactly like the scan path
@@ -232,10 +241,21 @@ class LSTMStack(nn.Module):
                         xw.astype(jnp.bfloat16) if _xw_mode() == "bf16"
                         else xw.astype(jnp.float32)
                     )
-                    hs = lstm_bidir_pallas(
-                        xw_k, w_hh_t.astype(jnp.float32),
-                        interpret=self.pallas_interpret,
-                    )
+                    if os.environ.get("SE_PALLAS_TM", "1") == "1":
+                        # time-major grid (default): full batch per step,
+                        # scan-equal sequential step count, xw double-
+                        # buffered across steps — measured +33% over the
+                        # scan champion on v5e (docs/PERF.md); set
+                        # SE_PALLAS_TM=0 for the batch-blocked variant
+                        hs = lstm_bidir_pallas_tm(
+                            xw_k, w_hh_t.astype(jnp.float32),
+                            interpret=self._interpret(),
+                        )
+                    else:
+                        hs = lstm_bidir_pallas(
+                            xw_k, w_hh_t.astype(jnp.float32),
+                            interpret=self._interpret(),
+                        )
                 else:
                     hs = _lstm_scan(xw, w_hh_t, H, self.unroll, dt)
                 return jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)

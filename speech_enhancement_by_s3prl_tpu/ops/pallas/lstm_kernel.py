@@ -144,6 +144,102 @@ def lstm_bidir_pallas_fused(
     return out[:, :B, :T, :]
 
 
+def _kernel_tm(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, hidden,
+               mxu_bf16=False):
+    """Time-major grid step: ONE timestep, FULL batch, both directions.
+
+    Grid is (T,) — the sequential step count matches the scan exactly
+    (no batch blocking), while Pallas double-buffers the per-step
+    (2, B, 4H) xw slice HBM->VMEM across grid steps. This is the
+    cross-step xw double-buffering design docs/PERF.md's speed-of-light
+    analysis calls for: weights + h/c state stay VMEM-resident for the
+    whole sequence, and the only HBM traffic per step is the xw stream
+    in (+ the h stream out)."""
+    H = hidden
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    # directions sequential (not stacked) so the (B, 4H) gates temporary
+    # exists once, not twice — keeps the scoped-VMEM footprint under the
+    # 16 MB limit at full batch
+    for d in range(2):
+        # mxu_bf16: recurrent matmul at the MXU's bf16 rate (4x f32);
+        # h is quantized to bf16 ONLY as the matmul input — the f32
+        # h/c recurrence state in scratch is untouched, so quantization
+        # error enters per-step through the gate pre-activations (same
+        # channel as the bf16 xw stream) and does not compound in c
+        h_in = h_scr[d].astype(jnp.bfloat16) if mxu_bf16 else h_scr[d]
+        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
+            h_in, whh_ref[d], preferred_element_type=jnp.float32
+        )
+        i_g = jax.nn.sigmoid(gates[..., :H])
+        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f_g * c_scr[d] + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_scr[d] = c
+        h_scr[d] = h
+        hs_ref[0, d] = h.astype(hs_ref.dtype)
+
+
+def lstm_bidir_pallas_tm(
+    xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases)
+    w_hh_t: jnp.ndarray,  # (2, H, 4H)
+    out_dtype=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Time-major full-batch variant; returns (2, B, T, H) as f32.
+
+    Unlike :func:`lstm_bidir_pallas` (grid over batch blocks x time
+    chunks), the grid here is purely over time with the WHOLE batch per
+    step, so the sequential step count equals the scan's. ``xw`` streams
+    in its own dtype (pass bf16 to halve the dominant HBM stream).
+    ``SE_PALLAS_HS_BF16=1`` stores the hidden-state OUTPUT stream in bf16
+    too (the recurrence itself stays f32 in VMEM) — same numerics budget
+    as the bf16 xw stream, and shaves the output block's VMEM share.
+    ``SE_PALLAS_MXU_BF16=1`` additionally runs the recurrent matmul at
+    the MXU's bf16 rate (bf16 W_hh + bf16-cast h input, f32 accumulate;
+    the h/c recurrence state stays f32)."""
+    import os
+
+    if out_dtype is None:
+        out_dtype = (
+            jnp.bfloat16
+            if os.environ.get("SE_PALLAS_HS_BF16", "0") == "1"
+            else jnp.float32
+        )
+    mxu_bf16 = os.environ.get("SE_PALLAS_MXU_BF16", "0") == "1"
+    d2, B, T, h4 = xw.shape
+    H = h4 // 4
+    assert d2 == 2 and w_hh_t.shape == (2, H, h4)
+
+    whh_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    xw_tm = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
+    out = pl.pallas_call(
+        functools.partial(_kernel_tm, hidden=H, mxu_bf16=mxu_bf16),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 2, B, h4), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, B, H), lambda t: (t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 2, B, H), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_tm, w_hh_t.astype(whh_dt))
+    return jnp.moveaxis(out, 0, 2).astype(jnp.float32)
+
+
 def lstm_bidir_pallas(
     xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases)
     w_hh_t: jnp.ndarray,  # (2, H, 4H)

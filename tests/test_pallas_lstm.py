@@ -8,7 +8,9 @@ import jax.numpy as jnp
 from speech_enhancement_by_s3prl_tpu.models.lstm import LSTMStack
 
 
-def test_pallas_bidir_matches_scan():
+def test_pallas_bidir_matches_scan(monkeypatch):
+    # batch-blocked variant (the time-major kernel is the default)
+    monkeypatch.setenv("SE_PALLAS_TM", "0")
     B, T, D, H = 2, 37, 16, 8
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, T, D)), dtype=jnp.float32)
@@ -23,6 +25,39 @@ def test_pallas_bidir_matches_scan():
     )
     out = np.asarray(pallas_model.apply(params, x))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_tm_matches_scan(monkeypatch):
+    monkeypatch.setenv("SE_PALLAS_TM", "1")
+    B, T, D, H = 3, 29, 16, 8
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), dtype=jnp.float32)
+    scan_model = LSTMStack(H, num_layers=2, bidirectional=True)
+    params = scan_model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(scan_model.apply(params, x))
+    tm = LSTMStack(H, num_layers=2, bidirectional=True, use_pallas=True,
+                   pallas_interpret=True)
+    out = np.asarray(tm.apply(params, x))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_pallas_tm_bf16_out_close_to_scan(monkeypatch):
+    # bf16 hidden-state OUT stream (recurrence stays f32 in VMEM): only
+    # the inter-layer/output h values are quantized — bound the error by
+    # the bf16 quantization budget, not exact parity
+    monkeypatch.setenv("SE_PALLAS_TM", "1")
+    monkeypatch.setenv("SE_PALLAS_HS_BF16", "1")
+    B, T, D, H = 2, 23, 12, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), dtype=jnp.float32)
+    scan_model = LSTMStack(H, num_layers=2, bidirectional=True)
+    params = scan_model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(scan_model.apply(params, x))
+    tm = LSTMStack(H, num_layers=2, bidirectional=True, use_pallas=True,
+                   pallas_interpret=True)
+    out = np.asarray(tm.apply(params, x))
+    np.testing.assert_allclose(out, ref, atol=3e-2)
+    assert np.abs(out - ref).mean() < 3e-3
 
 
 def test_fused_pallas_matches_scan(monkeypatch):
