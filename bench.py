@@ -36,13 +36,23 @@ import numpy as np
 # (name, env overrides) — every mode of the scoreboard. Batch/dtype
 # follow the measured per-mode sweet spots (docs/PERF.md).
 ALL_MODES = [
-    # inference modes default to the time-major Pallas recurrence
-    # (+33% over the scan champion, docs/PERF.md round-3 table); the
-    # AOT exec cache absorbs its per-process Mosaic recompile. Gradient
-    # modes pin it OFF (kernel is forward-only — training/scoring
-    # differentiate the scan path).
-    ("enhance", {"BENCH_MODE": "enhance", "SE_PALLAS_LSTM": "1"}),
-    ("train", {"BENCH_MODE": "train", "SE_PALLAS_LSTM": "0"}),
+    # every flagship mode defaults to the time-major Pallas recurrence
+    # (+33% enhance over the scan champion; the custom-VJP backward
+    # kernel makes train +134% — docs/PERF.md round-3 tables); the
+    # AOT exec cache absorbs its per-process Mosaic recompile.
+    # HS_BF16 everywhere the TM kernel runs at B=768: a FRESH compile of
+    # the f32-out variant needs 16.8MB scoped VMEM (> 16MB limit) — the
+    # 39.5-39.7k f32-out numbers in docs/PERF.md came from a cached
+    # executable that no longer reproduces; bf16-out measures the same
+    # (39.3k) and compiles reliably.
+    ("enhance", {"BENCH_MODE": "enhance", "SE_PALLAS_LSTM": "1",
+                 "SE_PALLAS_HS_BF16": "1"}),
+    # train through the differentiable TM kernel: B=256 is the sweep
+    # winner (13,991x/15,079x/16,610x at 128/192/256); the scan path
+    # peaked at B=128 (7,101x). Loss trajectories match the scan to ~6
+    # decimals over 40 steps (train-quality check, docs/PERF.md).
+    ("train", {"BENCH_MODE": "train", "SE_PALLAS_LSTM": "1",
+               "BENCH_BATCH": "256"}),
     # eval's surrounding program leaves ~820KB less scoped VMEM than
     # enhance's, tipping the B=768 time-major kernel just over the 16MB
     # limit; the bf16 hidden-state OUT stream (measured cost ~0) frees

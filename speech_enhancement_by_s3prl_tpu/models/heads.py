@@ -194,10 +194,10 @@ def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.
     cls = registry[model_name]
 
     # SE_PALLAS_LSTM=1 selects the Pallas recurrence kernel on every
-    # surface that builds a head (serve/enhance/eval CLIs) without
-    # plumbing a flag through each. Inference-only: the kernel has no
-    # VJP — training differentiates the scan path, so leave this unset
-    # (or pass use_pallas explicitly) when computing gradients.
+    # surface that builds a head (serve/enhance/eval/train CLIs) without
+    # plumbing a flag through each. The default time-major kernel is
+    # differentiable (custom VJP), so this works under jax.grad too;
+    # only the SE_PALLAS_TM=0 batch-blocked ablation is forward-only.
     if "use_pallas" not in cfg and os.environ.get("SE_PALLAS_LSTM", "0") == "1":
         cfg = dict(cfg)
         cfg["use_pallas"] = True

@@ -160,8 +160,10 @@ class LSTMStack(nn.Module):
     equivalent. Output dim = hidden_size * (2 if bidirectional else 1).
 
     ``use_pallas`` routes the bidirectional recurrence through the Pallas
-    TPU kernel (ops/pallas/lstm_kernel.py) — forward-only fast path for
-    inference/serving; training keeps the differentiable scan."""
+    TPU kernel (ops/pallas/lstm_kernel.py). The default time-major
+    variant is differentiable (custom VJP with a reverse-time backward
+    kernel) so it serves both inference and training; the batch-blocked
+    ablation (``SE_PALLAS_TM=0``) stays forward-only."""
 
     hidden_size: int
     num_layers: int = 1
@@ -232,7 +234,7 @@ class LSTMStack(nn.Module):
                 if self.use_pallas:
                     from ..ops.pallas.lstm_kernel import (
                         lstm_bidir_pallas,
-                        lstm_bidir_pallas_tm,
+                        lstm_bidir_tm,
                     )
 
                     # honor the xw storage mode: bf16 halves the kernel's
@@ -246,10 +248,13 @@ class LSTMStack(nn.Module):
                         # scan-equal sequential step count, xw double-
                         # buffered across steps — measured +33% over the
                         # scan champion on v5e (docs/PERF.md); set
-                        # SE_PALLAS_TM=0 for the batch-blocked variant
-                        hs = lstm_bidir_pallas_tm(
+                        # SE_PALLAS_TM=0 for the batch-blocked variant.
+                        # Differentiable (custom VJP with a reverse-time
+                        # backward kernel), so this path also serves
+                        # training under SE_PALLAS_LSTM=1.
+                        hs = lstm_bidir_tm(
                             xw_k, w_hh_t.astype(jnp.float32),
-                            interpret=self._interpret(),
+                            self._interpret(),
                         )
                     else:
                         hs = lstm_bidir_pallas(

@@ -12,8 +12,12 @@ This kernel runs the whole recurrence as one ``pallas_call``:
 - both directions are one batched matmul per step, identical math to the
   scan path (gate order i, f, g, o) — parity-tested against it.
 
-Forward-only: training differentiates the scan implementation; this kernel
-serves the inference/serving path (enhance.py, bench.py).
+The time-major variant (`lstm_bidir_tm`) is differentiable via a custom
+VJP whose backward pass is itself a reverse-time Pallas kernel
+(`_kernel_tm_bwd`, gate recomputation — no gate tensor in HBM), so
+`SE_PALLAS_LSTM=1` serves training as well as inference. The older
+batch-blocked kernels (`lstm_bidir_pallas`, `lstm_bidir_pallas_fused`)
+remain forward-only ablations.
 """
 from __future__ import annotations
 
@@ -238,6 +242,209 @@ def lstm_bidir_pallas_tm(
         interpret=interpret,
     )(xw_tm, w_hh_t.astype(whh_dt))
     return jnp.moveaxis(out, 0, 2).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable time-major kernel (custom VJP): forward additionally
+# records the cell-state sequence; backward is a REVERSE-time-major grid
+# that recomputes the gates from (xw_t, h_{t-1}) — one extra MXU matmul
+# per step instead of storing the (T, 2, B, 4H) gate tensor — and keeps
+# the recurrent cotangents (dh, dc) plus the dW_hh accumulator
+# VMEM-resident for the whole sequence. This makes SE_PALLAS_LSTM=1
+# usable under jax.grad (training), not just for inference.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_tm_fc(xw_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
+    """Forward step that also streams out the cell states (residuals for
+    the backward kernel). f32 outputs only — the training path does not
+    take the bf16-out shortcuts."""
+    H = hidden
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    for d in range(2):
+        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
+            h_scr[d], whh_ref[d], preferred_element_type=jnp.float32
+        )
+        i_g = jax.nn.sigmoid(gates[..., :H])
+        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
+        c = f_g * c_scr[d] + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_scr[d] = c
+        h_scr[d] = h
+        hs_ref[0, d] = h
+        cs_ref[0, d] = c
+
+
+def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
+                   dxw_ref, dwhh_ref, dh_scr, dc_scr, *, hidden, seq_len):
+    """One REVERSE-time step: grid index t visits time tt = T-1-t.
+
+    Inputs at tt: xw_t, c_t, dh_out_t, plus the PREVIOUS timestep's
+    h_{tt-1} / c_{tt-1} (same hs/cs arrays passed again under an
+    index map clamped at 0; masked to the zero initial state at tt=0).
+    The gate pre-activations are recomputed from (xw_t, h_{t-1}) so no
+    gate tensor is ever materialized in HBM. dW_hh accumulates directly
+    in its VMEM-resident output block (constant index map)."""
+    H = hidden
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+
+    # tt == 0 <=> last grid step: the "previous" blocks alias index 0 —
+    # mask them to the true zero initial state
+    first_t = (t == seq_len - 1)
+
+    for d in range(2):
+        h_prev = jnp.where(first_t, 0.0, hsp_ref[0, d])
+        c_prev = jnp.where(first_t, 0.0, csp_ref[0, d])
+        gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
+            h_prev, whh_ref[d], preferred_element_type=jnp.float32
+        )
+        i_g = jax.nn.sigmoid(gates[..., :H])
+        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
+        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
+        tc = jnp.tanh(cs_ref[0, d])
+
+        dh = dhs_ref[0, d].astype(jnp.float32) + dh_scr[d]
+        do = dh * tc
+        dct = dh * o_g * (1.0 - tc * tc) + dc_scr[d]
+        di = dct * g_g
+        df = dct * c_prev
+        dg = dct * i_g
+        dc_scr[d] = dct * f_g
+
+        da = jnp.concatenate(
+            [
+                di * i_g * (1.0 - i_g),
+                df * f_g * (1.0 - f_g),
+                dg * (1.0 - g_g * g_g),
+                do * o_g * (1.0 - o_g),
+            ],
+            axis=-1,
+        )  # (B, 4H)
+        dxw_ref[0, d] = da.astype(dxw_ref.dtype)
+        # dh_{t-1} = da @ W_hh^T  (whh_ref[d] is (H, 4H) = W_hh^T)
+        dh_scr[d] = jax.lax.dot_general(
+            da, whh_ref[d], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dW_hh^T accumulation: h_{t-1}^T @ da -> (H, 4H)
+        dwhh_ref[d] += jax.lax.dot_general(
+            h_prev, da, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _tm_fwd_with_cell(xw_tm, whh, interpret):
+    T, d2, B, h4 = xw_tm.shape
+    H = h4 // 4
+    return pl.pallas_call(
+        functools.partial(_kernel_tm_fc, hidden=H),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 2, B, h4), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, B, H), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, H), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_tm, whh)
+
+
+def _tm_bwd(xw_tm, whh, hs_tm, cs_tm, dhs_tm, interpret):
+    T, d2, B, h4 = xw_tm.shape
+    H = h4 // 4
+    rev = lambda t: (T - 1 - t, 0, 0, 0)            # noqa: E731
+    rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0, 0)  # noqa: E731
+    dxw, dwhh = pl.pallas_call(
+        functools.partial(_kernel_tm_bwd, hidden=H, seq_len=T),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 2, B, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, H), rev_prev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, B, h4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, h4), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 2, B, h4), jnp.float32),
+            jax.ShapeDtypeStruct((2, H, h4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw_tm, whh, hs_tm, cs_tm, cs_tm, dhs_tm)
+    return dxw, dwhh
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lstm_bidir_tm(xw, w_hh_t, interpret=False):
+    """Differentiable time-major bidirectional recurrence.
+
+    Primal (no grad requested) runs the plain forward kernel, so the
+    inference path is byte-identical to :func:`lstm_bidir_pallas_tm`
+    (including its env-tuned output dtype). Under ``jax.grad`` the
+    forward additionally records cell states and the backward runs
+    :func:`_kernel_tm_bwd`. Returns (2, B, T, H) f32."""
+    return lstm_bidir_pallas_tm(xw, w_hh_t, interpret=interpret)
+
+
+def _lstm_bidir_tm_fwd(xw, w_hh_t, interpret):
+    whh = w_hh_t.astype(jnp.float32)
+    xw_tm = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
+    hs_tm, cs_tm = _tm_fwd_with_cell(xw_tm, whh, interpret)
+    return (
+        jnp.moveaxis(hs_tm, 0, 2),
+        (xw_tm, whh, hs_tm, cs_tm),
+    )
+
+
+def _lstm_bidir_tm_bwd(interpret, res, dout):
+    xw_tm, whh, hs_tm, cs_tm = res
+    # cotangent arrives (2, B, T, H); previous-step h/c blocks are the
+    # same hs/cs arrays under a clamped reverse index map
+    dhs_tm = jnp.moveaxis(dout, 2, 0)
+    dxw_tm, dwhh = _tm_bwd(xw_tm, whh, hs_tm, cs_tm, dhs_tm, interpret)
+    dxw = jnp.moveaxis(dxw_tm, 0, 2).astype(xw_tm.dtype)
+    return dxw, dwhh
+
+
+lstm_bidir_tm.defvjp(_lstm_bidir_tm_fwd, _lstm_bidir_tm_bwd)
 
 
 def lstm_bidir_pallas(

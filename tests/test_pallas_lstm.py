@@ -60,6 +60,36 @@ def test_pallas_tm_bf16_out_close_to_scan(monkeypatch):
     assert np.abs(out - ref).mean() < 3e-3
 
 
+def test_pallas_tm_grad_matches_scan(monkeypatch):
+    # custom-VJP backward kernel (reverse-time grid, gate recomputation)
+    # vs autodiff through the scan
+    monkeypatch.setenv("SE_PALLAS_TM", "1")
+    B, T, D, H = 2, 17, 12, 8
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), dtype=jnp.float32)
+    scan_model = LSTMStack(H, num_layers=2, bidirectional=True)
+    params = scan_model.init(jax.random.PRNGKey(0), x)
+    tm = LSTMStack(H, num_layers=2, bidirectional=True, use_pallas=True,
+                   pallas_interpret=True)
+
+    def make_loss(m):
+        def f(p, xx):
+            y = m.apply(p, xx)
+            w = jnp.cos(jnp.arange(y.size).reshape(y.shape) * 0.01)
+            return jnp.sum(jnp.sin(y) * w)
+        return f
+
+    g_ref = jax.grad(make_loss(scan_model))(params, x)
+    g_tm = jax.grad(make_loss(tm))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    gx_ref = jax.grad(make_loss(scan_model), argnums=1)(params, x)
+    gx_tm = jax.grad(make_loss(tm), argnums=1)(params, x)
+    np.testing.assert_allclose(np.asarray(gx_ref), np.asarray(gx_tm),
+                               atol=1e-4)
+
+
 def test_fused_pallas_matches_scan(monkeypatch):
     monkeypatch.setenv("SE_PALLAS_FUSED", "1")
     B, T, D, H = 2, 37, 16, 8
