@@ -184,13 +184,17 @@ def get_preprocessor(args, config):
     upstream_feat["channel"] = channel_inp
     downstream_feat["channel"] = channel_inp
 
+    # phase carriers use 'uphase' (packed [re|im], a free slice of the
+    # STFT) instead of radians: istft consumes either, the waveforms are
+    # identical (tests/test_uphase.py), and the radian form costs an
+    # arctan2 + cos/sin round trip over the full spectrogram
     feat_list = [
         upstream_feat,
         downstream_feat,
         get_feat_config("linear", channel_inp),
-        get_feat_config("phase", channel_inp),
+        get_feat_config("uphase", channel_inp),
         get_feat_config("linear", channel_tar),
-        get_feat_config("phase", channel_tar),
+        get_feat_config("uphase", channel_tar),
     ]
     preprocessor = OnlinePreprocessor(
         **pretrain_config["online"], feat_list=feat_list

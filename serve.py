@@ -255,10 +255,11 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
                     dparas.get("downstream", downstream)
                 ]
 
+    # 'uphase' phase carriers: see run_downstream.get_preprocessor
     feat_list = [
         upstream_feat, downstream_feat,
-        get_feat_config("linear", 0), get_feat_config("phase", 0),
-        get_feat_config("linear", 0), get_feat_config("phase", 0),
+        get_feat_config("linear", 0), get_feat_config("uphase", 0),
+        get_feat_config("linear", 0), get_feat_config("uphase", 0),
     ]
     pre = OnlinePreprocessor(**online, feat_list=feat_list)
     dims = pre.feat_dims()

@@ -27,7 +27,13 @@ import numpy as np
 from .mel import mel_to_mfcc, power_to_mel
 from .stft import StftParams, istft as _istft, magphase, stft as _stft
 
-FEAT_TYPES = ("complx", "linear", "phase", "mel", "mfcc")
+# 'uphase' is a TPU-first addition to the reference's menu: the phase
+# carried as the raw packed [re | im] spectrum (a free slice of the STFT
+# output) instead of radians. ops/stft.istft consumes it directly by
+# magnitude rescaling, which removes the arctan2 -> cos/sin round trip —
+# three transcendental VPU passes over the full spectrogram — from the
+# enhance pipeline. Radian 'phase' remains for the reference contract.
+FEAT_TYPES = ("complx", "linear", "phase", "uphase", "mel", "mfcc")
 
 
 def compute_deltas(feat: jnp.ndarray, win_length: int = 5) -> jnp.ndarray:
@@ -85,6 +91,7 @@ def feat_dim(cfg: Dict[str, Any], params: "PreprocessorConfig") -> int:
         "complx": 2 * params.stft.n_freq,
         "linear": params.stft.n_freq,
         "phase": params.stft.n_freq,
+        "uphase": 2 * params.stft.n_freq,
         "mel": params.n_mels,
         "mfcc": params.n_mfcc,
     }[cfg["feat_type"]]
@@ -190,18 +197,23 @@ class OnlinePreprocessor:
         """Pure function: wavs (B, C, T) -> list of (B, n_frames, dim)."""
         cfg = self.config
         complx = self.stft_complex(wavs)  # (B, C, T', 2F)
-        power, phase = self.magphase(complx)
+        re, im = complx[..., : cfg.n_freq], complx[..., cfg.n_freq :]
+        power = re * re + im * im
 
+        # radian phase (arctan2 over the full spectrogram) only when a
+        # feat entry asks for it; 'uphase' rides the complx slice for free
         cache: Dict[str, jnp.ndarray] = {
             "complx": complx,
             "linear": power,
-            "phase": phase,
+            "uphase": complx,
         }
 
         def base_feat(feat_type: str) -> jnp.ndarray:
             if feat_type in cache:
                 return cache[feat_type]
-            if feat_type == "mel":
+            if feat_type == "phase":
+                cache["phase"] = jnp.arctan2(im, re)
+            elif feat_type == "mel":
                 cache["mel"] = power_to_mel(power, cfg.n_mels, cfg.sample_rate)
             elif feat_type == "mfcc":
                 mel = base_feat("mel")

@@ -24,11 +24,18 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _pallas_interpret() -> bool:
+    # Mosaic kernels only lower for TPU; on CPU fall back to interpret
+    # mode (tests, --cpu CLI runs with the knobs set)
+    return jax.default_backend() == "cpu"
 
 
 def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
@@ -132,6 +139,18 @@ def stft(wavs: jnp.ndarray, params: StftParams, method: str = "matmul") -> jnp.n
     time = wavs.shape[-1]
     n_frames = params.n_frames(time)
 
+    if method == "matmul" and os.environ.get("SE_PALLAS_STFT", "0") == "1":
+        # fused Pallas framing+window+DFT kernel: reads each hop-slice
+        # once, keeps framing in VMEM (ops/pallas/stft_kernel.py);
+        # bf16 x bf16 -> f32 matmul, parity vs this path in
+        # tests/test_pallas_dsp.py
+        from .pallas.stft_kernel import stft_pallas
+
+        return stft_pallas(
+            wavs, n_fft, params.win_length, hop,
+            interpret=_pallas_interpret(),
+        )
+
     x = wavs.reshape((-1, time))
     x = _reflect_pad(x, n_fft // 2)
 
@@ -147,6 +166,31 @@ def stft(wavs: jnp.ndarray, params: StftParams, method: str = "matmul") -> jnp.n
             preferred_element_type=jnp.float32,
         )  # (B, 2F, n_frames)
         out = jnp.swapaxes(out, 1, 2)
+    elif method == "hopmm":
+        # Hop-blocked dense matmuls — the scatter-free OLA trick in
+        # reverse: split the window-folded DFT kernel into K =
+        # ceil(n_fft/hop) hop-sized row blocks so framing becomes K
+        # shifted VIEWS of a (B, n_hops, hop) reshape. Measured ABLATION:
+        # 55.2 ms vs 49.4 ms for the conv form at the flagship geometry
+        # on v5e (docs/PERF.md) — XLA's strided-conv lowering was not the
+        # bottleneck; kept for the record.
+        fwd, _, _ = _dft_kernels(n_fft, params.win_length)
+        k_blocks = -(-n_fft // hop)
+        fwd_pad = np.zeros((k_blocks * hop, fwd.shape[1]), np.float32)
+        fwd_pad[:n_fft] = fwd
+        need = (n_frames - 1 + k_blocks) * hop
+        if need > x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[-1])))
+        else:
+            x = x[:, :need]
+        hops = x.reshape(x.shape[0], -1, hop)
+        out = 0.0
+        for j in range(k_blocks):
+            blk = jnp.asarray(fwd_pad[j * hop : (j + 1) * hop])
+            out = out + jnp.einsum(
+                "bth,hf->btf", hops[:, j : j + n_frames], blk,
+                preferred_element_type=jnp.float32,
+            )
     elif method == "fft":
         _, _, window = _dft_kernels(n_fft, params.win_length)
         idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
@@ -191,16 +235,61 @@ def istft(
     ``(n_frames - 1) * hop``, normalized by the window-square overlap-add
     envelope.
 
+    ``phase`` carries the phase in either representation:
+      - (..., n_frames, n_freq): radians (the reference contract) —
+        reconstruction is ``mag * (cos, sin)(phase)``.
+      - (..., n_frames, 2 * n_freq): a packed ``[re | im]`` complex
+        spectrum (the 'uphase' feature) — reconstruction rescales it to
+        the target magnitude: ``mag * (re, im) / |z|``. Identical math
+        with NO transcendentals (the arctan2 -> cos/sin round trip the
+        radian form forces costs three VPU passes over the full
+        spectrogram; measured on the enhance pipeline in docs/PERF.md).
+        The |z| = 0 corner keeps arctan2 semantics exactly: phase 0,
+        i.e. unit vector (1, 0).
+
     Args:
       linear: (..., n_frames, n_freq) non-negative spectrum.
-      phase: (..., n_frames, n_freq).
+      phase: (..., n_frames, n_freq) or (..., n_frames, 2 * n_freq).
     """
     n_fft, hop, n_freq = params.n_fft, params.hop_length, params.n_freq
     lead = linear.shape[:-2]
     n_frames = linear.shape[-2]
+
+    if (
+        phase.shape[-1] == 2 * n_freq
+        and os.environ.get("SE_PALLAS_DECODE", "0") == "1"
+    ):
+        # fused Pallas rescale+iDFT+OLA kernel (ops/pallas/decode_kernel)
+        # — inputs read once, waveform written once; trimming and
+        # envelope normalization stay here
+        from .pallas.decode_kernel import decode_ola_pallas
+
+        raw = decode_ola_pallas(
+            linear.reshape((-1, n_frames, n_freq)),
+            phase.reshape((-1, n_frames, 2 * n_freq)),
+            n_fft, params.win_length, hop,
+            linear_power=linear_power,
+            interpret=_pallas_interpret(),
+        )
+        start = n_fft // 2
+        length = (n_frames - 1) * hop
+        wav = raw[:, start : start + length]
+        env = _ola_envelope(n_fft, params.win_length, hop, n_frames)[
+            start : start + length
+        ]
+        wav = wav / jnp.where(env > 1e-11, env, 1.0)
+        return wav.reshape(lead + (length,))
+
     mag = linear ** (1.0 / linear_power) if linear_power != 1.0 else linear
-    re = mag * jnp.cos(phase)
-    im = mag * jnp.sin(phase)
+    if phase.shape[-1] == 2 * n_freq:
+        zre, zim = phase[..., :n_freq], phase[..., n_freq:]
+        zmag = jnp.sqrt(zre * zre + zim * zim)
+        inv_z = 1.0 / jnp.where(zmag > 0.0, zmag, 1.0)
+        re = mag * jnp.where(zmag > 0.0, zre * inv_z, 1.0)
+        im = mag * jnp.where(zmag > 0.0, zim * inv_z, 0.0)
+    else:
+        re = mag * jnp.cos(phase)
+        im = mag * jnp.sin(phase)
     packed = jnp.concatenate([re, im], axis=-1).reshape((-1, n_frames, 2 * n_freq))
 
     _, inv, window = _dft_kernels(n_fft, params.win_length)
