@@ -305,13 +305,16 @@ def main():
         step = builder.train_step_fn()
         state, stats = step(state, wavs, lengths, rng)  # compile + warmup
         float(stats["loss"])
-        times = []
+        # dispatch the whole run, sync ONCE at the end: each per-iteration
+        # device->host scalar fetch through the axon tunnel costs ~35 ms
+        # of pure RTT while the chip idles (measured: tiny-program
+        # roundtrip 34.7 ms — docs/PERF.md round-3 methodology note).
+        # The state dependency chains the steps on device.
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             state, stats = step(state, wavs, lengths, rng)
-            float(stats["loss"])  # scalar fetch = sync point
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) * iters
+        float(stats["loss"])  # scalar fetch = sync point for the chain
+        dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
         print(json.dumps({
             "metric": "train_audio_rtf_per_chip",
@@ -348,12 +351,15 @@ def main():
 
         fwd = jax.jit(lambda p, f: up(f, params=p).sum())
         float(fwd(up.params, feats))  # compile + warmup
-        times = []
+        # single end-of-run sync (see train mode: ~35 ms RTT per fetch);
+        # programs execute in submission order, so syncing the last
+        # output syncs the whole run
+        t0 = time.perf_counter()
+        out = None
         for _ in range(iters):
-            t0 = time.perf_counter()
-            float(fwd(up.params, feats))
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) * iters
+            out = fwd(up.params, feats)
+        float(out)
+        dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
         print(json.dumps({
             "metric": "upstream_audio_rtf_per_chip",
@@ -394,13 +400,12 @@ def main():
         step = builder.train_step_fn()
         state, stats = step(state, wavs, lengths, rng)  # compile + warmup
         float(stats["loss"])
-        times = []
+        # single end-of-run sync (see train mode: ~35 ms RTT per fetch)
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             state, stats = step(state, wavs, lengths, rng)
-            float(stats["loss"])
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) * iters
+        float(stats["loss"])
+        dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
         print(json.dumps({
             "metric": "mockingjay_train_audio_rtf_per_chip",
@@ -424,13 +429,12 @@ def main():
         scoring = make_scoring_fn(builder, active_layerid=0)
         g = scoring(state.params, wavs, lengths)
         float(jnp.asarray(g).sum())  # compile + warmup
-        times = []
+        # single end-of-run sync (see train mode: ~35 ms RTT per fetch)
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             g = scoring(state.params, wavs, lengths)
-            float(jnp.asarray(g).sum())
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) * iters
+        float(jnp.asarray(g).sum())
+        dt = time.perf_counter() - t0
         utts = batch * iters
         print(json.dumps({
             "metric": "sampler_scoring_utts_per_sec_per_chip",
@@ -507,16 +511,16 @@ def main():
             step = builder.eval_step_fn(wav_out="first")
         out = step(state.params, wavs, lengths)  # compile + warmup
         float(out["loss"])
-        times = []
+        # single end-of-run sync (see train mode: ~35 ms RTT per fetch);
+        # the final fetch still touches every metric output, not a
+        # hardcoded name
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
             out = step(state.params, wavs, lengths)
-            # sync on every metric output, not a hardcoded name
-            float(out["loss"]) + sum(
-                float(v.sum()) for v in out["scores"].values()
-            )
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times)) * iters
+        float(out["loss"]) + sum(
+            float(v.sum()) for v in out["scores"].values()
+        )
+        dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
         print(json.dumps({
             "metric": "eval_audio_rtf_per_chip",
@@ -527,7 +531,7 @@ def main():
         return
 
     # scalar-reduced output: the sum depends on every enhanced sample, so
-    # the whole pipeline executes, while the per-iteration device->host
+    # the whole pipeline executes, while the end-of-run device->host
     # fetch (which is the only reliable sync point through the axon tunnel
     # — block_until_ready returns early there) moves 4 bytes, not 20 MB.
     def enhance_sum(params, wavs, lengths):
@@ -567,12 +571,16 @@ def main():
         fn = jax.jit(enhance_sum)
     float(fn(params, wavs, lengths))  # compile + warmup
 
-    times = []
+    # dispatch every iteration, sync once: per-iteration scalar fetches
+    # each cost ~35 ms of pure tunnel RTT while the chip idles (measured
+    # round 3, docs/PERF.md methodology); programs run in submission
+    # order so the last fetch syncs the whole run
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        float(fn(params, wavs, lengths))
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) * iters
+        out = fn(params, wavs, lengths)
+    float(out)
+    dt = time.perf_counter() - t0
 
     audio_seconds = batch * utt_sec * iters
     rtf = audio_seconds / dt
