@@ -213,6 +213,11 @@ def run_all():
         print(f"[bench:all] {name}: "
               f"{modes[name].get('value', modes[name].get('error'))}",
               file=sys.stderr, flush=True)
+        # let the previous subprocess's tunnel claim fully release before
+        # the next mode opens a session: back-to-back transitions measured
+        # a one-off 2.2x slowdown (upstream 4,037x in an all-run vs
+        # 8,889/8,917x solo immediately after)
+        time.sleep(float(os.environ.get("BENCH_MODE_SETTLE", "10")))
 
     # headline = enhance if it SUCCEEDED (an {'error': ...} entry is
     # truthy but has no 'value'), else the first succeeded mode

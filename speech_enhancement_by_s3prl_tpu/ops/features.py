@@ -196,7 +196,18 @@ class OnlinePreprocessor:
     def extract(self, wavs: jnp.ndarray, feat_list: Sequence[Dict[str, Any]]):
         """Pure function: wavs (B, C, T) -> list of (B, n_frames, dim)."""
         cfg = self.config
-        complx = self.stft_complex(wavs)  # (B, C, T', 2F)
+        # only transform the channels the feat_list actually references:
+        # dataset batches carry three channels (mixed/clean/noise) but the
+        # six-feature bundle reads two — a third of the STFT (the
+        # pipeline's single most expensive op) would be dead work the
+        # compiler cannot eliminate out of the one fused conv
+        used = sorted({int(f.get("channel", 0)) for f in feat_list})
+        if len(used) < wavs.shape[1]:
+            wavs = wavs[:, tuple(used)]
+            remap = {c: i for i, c in enumerate(used)}
+        else:
+            remap = None
+        complx = self.stft_complex(wavs)  # (B, C_used, T', 2F)
         re, im = complx[..., : cfg.n_freq], complx[..., cfg.n_freq :]
         power = re * re + im * im
 
@@ -224,7 +235,10 @@ class OnlinePreprocessor:
 
         outs = []
         for f in feat_list:
-            feat = base_feat(f["feat_type"])[:, int(f.get("channel", 0))]
+            ch = int(f.get("channel", 0))
+            if remap is not None:
+                ch = remap[ch]
+            feat = base_feat(f["feat_type"])[:, ch]
             if f.get("log", False):
                 feat = jnp.log(feat + cfg.eps)
             if int(f.get("delta", 0)) > 0:

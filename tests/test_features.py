@@ -132,3 +132,34 @@ def test_mfcc_shape():
     )
     (mfcc,) = pre(wavs)
     assert mfcc.shape == (1, 101, 13)
+
+
+def test_extract_skips_unreferenced_channels():
+    """A 3-channel batch whose feat_list references only channels 0 and 2
+    must produce the same features as the full-channel compute — the
+    channel-slicing fast path (extract only transforms referenced
+    channels) is a pure optimization."""
+    import numpy as np
+
+    from speech_enhancement_by_s3prl_tpu.ops.features import (
+        OnlinePreprocessor,
+        get_feat_config,
+    )
+
+    rng = np.random.default_rng(11)
+    wavs = jnp.asarray(rng.standard_normal((2, 3, 8000)), jnp.float32) * 0.1
+    fl = [
+        get_feat_config("mel", 0, log=True),
+        get_feat_config("linear", 2),
+        get_feat_config("uphase", 2),
+    ]
+    pre = OnlinePreprocessor(feat_list=fl)
+    sliced = pre(wavs)
+
+    # reference: force the all-channel path by adding a channel-1 entry
+    fl_all = fl + [get_feat_config("linear", 1)]
+    pre_all = OnlinePreprocessor(feat_list=fl_all)
+    full = pre_all(wavs)
+
+    for a, b in zip(sliced, full[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
