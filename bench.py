@@ -307,7 +307,41 @@ def main():
         builder = graft._build()
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
-        step = builder.train_step_fn()
+        # AOT exec cache for the train step too: with SE_PALLAS_LSTM=1 the
+        # differentiable time-major kernel is a Mosaic custom call that the
+        # persistent HLO cache skips — without this every process pays the
+        # full tunnel recompile (~1-3 min)
+        step = None
+        if (
+            os.environ.get("SE_EXEC_CACHE", "1") == "1"
+            and jax.default_backend() != "cpu"
+        ):
+            from speech_enhancement_by_s3prl_tpu.models.lstm import (
+                DEFAULT_UNROLL,
+            )
+            from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+                compile_cached,
+            )
+
+            env_key = ",".join(
+                f"{k}={os.environ.get(k, '')}"
+                for k in (
+                    "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
+                    "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
+                    "SE_PALLAS_TM", "SE_PALLAS_HS_BF16", "SE_LSTM_REMAT",
+                )
+            ) + f",unroll={DEFAULT_UNROLL}"
+            up = builder.upstream_params()
+            raw = compile_cached(
+                builder.train_step_raw(),
+                state, wavs, lengths, rng, up,
+                fn_key=f"bench_train|{env_key}", donate_argnums=(0,),
+                verbose=True,
+            )
+            if raw is not None:
+                step = lambda s, w, l, r: raw(s, w, l, r, up)  # noqa: E731
+        if step is None:
+            step = builder.train_step_fn()
         state, stats = step(state, wavs, lengths, rng)  # compile + warmup
         float(stats["loss"])
         # dispatch the whole run, sync ONCE at the end: each per-iteration
