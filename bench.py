@@ -329,6 +329,7 @@ def main():
                     "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
                     "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                     "SE_PALLAS_TM", "SE_PALLAS_HS_BF16", "SE_LSTM_REMAT",
+                    "SE_PALLAS_VJP_BF16", "SE_PALLAS_MXU_BF16",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
             up = builder.upstream_params()
@@ -534,7 +535,8 @@ def main():
                     "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
                     "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                     "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
-                    "SE_PALLAS_HS_BF16", "SE_METRIC_CHUNK",
+                    "SE_PALLAS_HS_BF16", "SE_PALLAS_MXU_BF16",
+                    "SE_METRIC_CHUNK",
                     "BENCH_EVAL_METRICS", "SE_METRIC_PRECISION",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
@@ -599,7 +601,7 @@ def main():
                 "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
                 "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                 "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
-                "SE_PALLAS_HS_BF16",
+                "SE_PALLAS_HS_BF16", "SE_PALLAS_MXU_BF16",
             )
         ) + f",unroll={DEFAULT_UNROLL}"
         fn = compile_cached(

@@ -89,6 +89,51 @@ def normal_init(stddev):
     return nn.initializers.normal(stddev=stddev)
 
 
+def chunked_dropout_attention(q, k, v, bias, scale, rate, rng, chunk, dt):
+    """Attention WITH probability dropout, without the (B, N, T, T) HBM
+    tensor: queries are processed in time chunks under ``jax.checkpoint``,
+    so only one chunk's (B, N, chunk, T) logits/probs exist at a time and
+    the backward recomputes them per chunk instead of storing them.
+
+    This is what lets training with live attention dropout (the
+    reference's default, /root/reference config attention_probs_dropout
+    0.1) scale batch like the inference path does: the naive explicit
+    path OOMs at B>=96 x T=1001 f32 because fwd+bwd hold the full probs
+    tensor (docs/PERF.md, Mockingjay table).
+
+    q, k, v: (B, T, N, D); bias: None or query-broadcast (q-dim 1).
+    The dropout mask stream differs from flax ``nn.Dropout``'s single
+    full-shape draw (one fold_in per chunk) — a different but equally
+    valid sample of the same Bernoulli process.
+    """
+    B, T, N, D = q.shape
+    pad = (-T) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nc = (T + pad) // chunk
+    qc = jnp.moveaxis(q.reshape(B, nc, chunk, N, D), 1, 0)
+    keep = 1.0 - rate
+
+    def one(args):
+        i, qi = args
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qi, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1)
+        mask = jax.random.bernoulli(
+            jax.random.fold_in(rng, i), keep, probs.shape
+        )
+        probs = jnp.where(mask, probs / keep, 0.0).astype(dt)
+        return jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        )
+
+    out = jax.lax.map(jax.checkpoint(one), (jnp.arange(nc), qc))
+    return jnp.moveaxis(out, 0, 1).reshape(B, T + pad, N, D)[:, :T]
+
+
 class SelfAttention(nn.Module):
     config: TransformerConfig
     compute_dtype: Any = jnp.float32
@@ -132,9 +177,21 @@ class SelfAttention(nn.Module):
         drops_attn = (
             not deterministic and c.attention_probs_dropout_prob > 0.0
         )
-        if not drops_attn and os.environ.get("SE_ATTN_IMPL", "fused") != "naive":
+        naive = os.environ.get("SE_ATTN_IMPL", "fused") == "naive"
+        # query-chunked dropout path: only usable when the bias (if any)
+        # broadcasts over the query axis — true at every call site (the
+        # encoder passes None)
+        drop_chunk = int(os.environ.get("SE_ATTN_DROPOUT_CHUNK", "128"))
+        chunkable = attn_mask is None or attn_mask.shape[-2] == 1
+        if not drops_attn and not naive:
             ctx = jax.nn.dot_product_attention(
                 q, k, v, bias=attn_mask, scale=scale
+            )
+        elif drops_attn and not naive and drop_chunk > 0 and chunkable:
+            ctx = chunked_dropout_attention(
+                q, k, v, attn_mask, scale,
+                c.attention_probs_dropout_prob,
+                self.make_rng("dropout"), drop_chunk, dt,
             )
         else:
             logits = jnp.einsum(

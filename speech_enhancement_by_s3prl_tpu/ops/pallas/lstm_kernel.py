@@ -257,8 +257,9 @@ def lstm_bidir_pallas_tm(
 
 def _kernel_tm_fc(xw_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
     """Forward step that also streams out the cell states (residuals for
-    the backward kernel). f32 outputs only — the training path does not
-    take the bf16-out shortcuts."""
+    the backward kernel). The recurrence state in scratch is always f32;
+    the residual STREAMS follow the refs' dtype (bf16 under
+    ``SE_PALLAS_VJP_BF16=1``, f32 otherwise)."""
     H = hidden
 
     @pl.when(pl.program_id(0) == 0)
@@ -278,8 +279,8 @@ def _kernel_tm_fc(xw_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr, *, hidden):
         h = o_g * jnp.tanh(c)
         c_scr[d] = c
         h_scr[d] = h
-        hs_ref[0, d] = h
-        cs_ref[0, d] = c
+        hs_ref[0, d] = h.astype(hs_ref.dtype)
+        cs_ref[0, d] = c.astype(cs_ref.dtype)
 
 
 def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
@@ -306,8 +307,8 @@ def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
     first_t = (t == seq_len - 1)
 
     for d in range(2):
-        h_prev = jnp.where(first_t, 0.0, hsp_ref[0, d])
-        c_prev = jnp.where(first_t, 0.0, csp_ref[0, d])
+        h_prev = jnp.where(first_t, 0.0, hsp_ref[0, d].astype(jnp.float32))
+        c_prev = jnp.where(first_t, 0.0, csp_ref[0, d].astype(jnp.float32))
         gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
             h_prev, whh_ref[d], preferred_element_type=jnp.float32
         )
@@ -315,7 +316,7 @@ def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
         f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
         g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
         o_g = jax.nn.sigmoid(gates[..., 3 * H :])
-        tc = jnp.tanh(cs_ref[0, d])
+        tc = jnp.tanh(cs_ref[0, d].astype(jnp.float32))
 
         dh = dhs_ref[0, d].astype(jnp.float32) + dh_scr[d]
         do = dh * tc
@@ -347,9 +348,29 @@ def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
         )
 
 
+def _vjp_stream_dtype():
+    """Residual-stream dtype for the differentiable kernel.
+
+    ``SE_PALLAS_VJP_BF16=1`` stores the forward's h/c residual streams —
+    and the incoming dh cotangent stream — in bf16. The backward kernel
+    recomputes gates from these residuals, so the quantization enters
+    through the same channel the (default-on) bf16 xw stream already
+    uses; the recurrent cotangent state itself stays f32 in VMEM. Halves
+    four of the six per-step HBM streams and their double-buffered VMEM
+    blocks, which is what raises the batch ceiling past B=256."""
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("SE_PALLAS_VJP_BF16", "0") == "1"
+        else jnp.float32
+    )
+
+
 def _tm_fwd_with_cell(xw_tm, whh, interpret):
     T, d2, B, h4 = xw_tm.shape
     H = h4 // 4
+    res_dt = _vjp_stream_dtype()
     return pl.pallas_call(
         functools.partial(_kernel_tm_fc, hidden=H),
         grid=(T,),
@@ -366,8 +387,8 @@ def _tm_fwd_with_cell(xw_tm, whh, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, 2, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, B, H), res_dt),
+            jax.ShapeDtypeStruct((T, 2, B, H), res_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, B, H), jnp.float32),
@@ -400,7 +421,11 @@ def _tm_bwd(xw_tm, whh, hs_tm, cs_tm, dhs_tm, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 2, B, h4), jnp.float32),
+            # dxw streams out in xw's own dtype: the VJP previously cast
+            # f32->bf16 right after the kernel anyway (one rounding either
+            # way), so emitting bf16 directly is numerically identical and
+            # halves the largest double-buffered VMEM block + HBM stream
+            jax.ShapeDtypeStruct((T, 2, B, h4), xw_tm.dtype),
             jax.ShapeDtypeStruct((2, H, h4), jnp.float32),
         ],
         scratch_shapes=[
@@ -429,7 +454,7 @@ def _lstm_bidir_tm_fwd(xw, w_hh_t, interpret):
     xw_tm = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
     hs_tm, cs_tm = _tm_fwd_with_cell(xw_tm, whh, interpret)
     return (
-        jnp.moveaxis(hs_tm, 0, 2),
+        jnp.moveaxis(hs_tm, 0, 2).astype(jnp.float32),
         (xw_tm, whh, hs_tm, cs_tm),
     )
 
@@ -437,10 +462,11 @@ def _lstm_bidir_tm_fwd(xw, w_hh_t, interpret):
 def _lstm_bidir_tm_bwd(interpret, res, dout):
     xw_tm, whh, hs_tm, cs_tm = res
     # cotangent arrives (2, B, T, H); previous-step h/c blocks are the
-    # same hs/cs arrays under a clamped reverse index map
-    dhs_tm = jnp.moveaxis(dout, 2, 0)
+    # same hs/cs arrays under a clamped reverse index map. Under
+    # SE_PALLAS_VJP_BF16 the dh stream is quantized like the residuals.
+    dhs_tm = jnp.moveaxis(dout, 2, 0).astype(hs_tm.dtype)
     dxw_tm, dwhh = _tm_bwd(xw_tm, whh, hs_tm, cs_tm, dhs_tm, interpret)
-    dxw = jnp.moveaxis(dxw_tm, 0, 2).astype(xw_tm.dtype)
+    dxw = jnp.moveaxis(dxw_tm, 0, 2)
     return dxw, dwhh
 
 

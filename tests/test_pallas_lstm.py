@@ -90,6 +90,37 @@ def test_pallas_tm_grad_matches_scan(monkeypatch):
                                atol=1e-4)
 
 
+def test_pallas_tm_grad_vjp_bf16_streams(monkeypatch):
+    # SE_PALLAS_VJP_BF16: h/c residual + dh cotangent streams stored bf16
+    # (recurrent cotangent state stays f32 in VMEM). Quantization enters
+    # through the gate-recompute channel only — grads must stay
+    # directionally faithful to the f32 scan grads (cosine ~1), not exact.
+    monkeypatch.setenv("SE_PALLAS_TM", "1")
+    B, T, D, H = 2, 17, 12, 8
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), dtype=jnp.float32)
+    scan_model = LSTMStack(H, num_layers=2, bidirectional=True)
+    params = scan_model.init(jax.random.PRNGKey(0), x)
+    tm = LSTMStack(H, num_layers=2, bidirectional=True, use_pallas=True,
+                   pallas_interpret=True)
+
+    def loss(m):
+        return lambda p: jnp.sum(jnp.sin(m.apply(p, x)))
+
+    g_ref = jax.grad(loss(scan_model))(params)
+    monkeypatch.setenv("SE_PALLAS_VJP_BF16", "1")
+    g_tm = jax.grad(loss(tm))(params)
+
+    def flat(t):
+        return jnp.concatenate([l.ravel() for l in jax.tree.leaves(t)])
+
+    a, b = flat(g_ref), flat(g_tm)
+    cos = float(a @ b / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    assert cos > 0.999, cos
+    # and the forward primal itself stays f32-dtyped for downstream code
+    assert tm.apply(params, x).dtype == jnp.float32
+
+
 def test_fused_pallas_matches_scan(monkeypatch):
     monkeypatch.setenv("SE_PALLAS_FUSED", "1")
     B, T, D, H = 2, 37, 16, 8
