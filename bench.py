@@ -51,8 +51,11 @@ ALL_MODES = [
     # winner (13,991x/15,079x/16,610x at 128/192/256); the scan path
     # peaked at B=128 (7,101x). Loss trajectories match the scan to ~6
     # decimals over 40 steps (train-quality check, docs/PERF.md).
+    # B=320 fits once dxw streams in xw's dtype and SE_PALLAS_VJP_BF16
+    # stores the backward's residual/cotangent streams bf16 (B=256 plain
+    # VJP 20.8k -> 21.8k; B=384 still 292KB over the scoped-VMEM limit).
     ("train", {"BENCH_MODE": "train", "SE_PALLAS_LSTM": "1",
-               "BENCH_BATCH": "256"}),
+               "BENCH_BATCH": "320", "SE_PALLAS_VJP_BF16": "1"}),
     # eval's surrounding program leaves ~820KB less scoped VMEM than
     # enhance's, tipping the B=768 time-major kernel just over the 16MB
     # limit; the bf16 hidden-state OUT stream (measured cost ~0) frees
@@ -65,7 +68,11 @@ ALL_MODES = [
     ("upstream", {"BENCH_MODE": "upstream"}),
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0"}),
-    ("score", {"BENCH_MODE": "score", "SE_PALLAS_LSTM": "0"}),
+    # bf16 compute for the fwd/bwd under vmap(grad): embeddings stay f32
+    # (grads of f32 params), per-sample cosine vs f32 >= 0.99998 and
+    # match-rank order identical on the real chip (docs/PERF.md).
+    ("score", {"BENCH_MODE": "score", "SE_PALLAS_LSTM": "0",
+               "BENCH_DTYPE": "bf16"}),
     ("loader", {"BENCH_MODE": "loader"}),
 ]
 

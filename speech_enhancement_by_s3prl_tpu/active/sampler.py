@@ -57,6 +57,53 @@ def _select_layer(params, layerid: Optional[int]):
     return {"params": selected} if "params" in params else selected
 
 
+def _split_layer(params, layerid: Optional[int]):
+    """Partition params into (selected, rest) by the layer predicate.
+
+    Differentiating wrt the SELECTED subtree only is mathematically
+    identical to grad-then-filter for the embedded coordinates (the
+    reference filters after the fact, /root/reference/sampler.py:97-103),
+    but skips computing + materializing per-sample weight-grad outer
+    products for every non-embedded layer — the bulk of the vmap(grad)
+    program's FLOPs and memory when --active_layerid is set. Leaf order
+    of `selected` matches _select_layer's, so embeddings from the split
+    path are coordinate-compatible with grad-then-filter ones."""
+    if layerid is None:
+        return params, None
+
+    def walk(tree, path=()):
+        sel, rest = {}, {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                s, r = walk(v, p)
+                if s:
+                    sel[k] = s
+                if r:
+                    rest[k] = r
+            elif f"l{layerid}_" in "/".join(p):
+                sel[k] = v
+            else:
+                rest[k] = v
+        return sel, rest
+
+    wrapped = "params" in params
+    sel, rest = walk(params["params"] if wrapped else params)
+    if wrapped:
+        sel, rest = {"params": sel}, {"params": rest}
+    return sel, rest
+
+
+def _merge_trees(a, b):
+    """Inverse of _split_layer: recombine disjoint nested dicts."""
+    if b is None:
+        return a
+    out = dict(b)
+    for k, v in a.items():
+        out[k] = _merge_trees(v, b[k]) if isinstance(v, dict) and k in b else v
+    return out
+
+
 def _flatten(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.concatenate([l.reshape(l.shape[0], -1) for l in leaves], axis=-1)
@@ -89,26 +136,28 @@ def make_scoring_fn(
         loss, _ = sb.loss_fn(params, ctx, rngs={"dropout": rng})
         return loss
 
-    def per_sample_grads(params, wavs, lengths, rng):
-        def one(p, w, l, k):
-            return batch_loss(p, w[None], l[None], k)
-
-        keys = jax.random.split(rng, wavs.shape[0])
-        return jax.vmap(jax.grad(one), in_axes=(None, 0, 0, 0))(
-            params, wavs, lengths, keys
-        )
-
     @jax.jit
     def scoring_mean(params, wavs, lengths, rng):
-        g = jax.grad(batch_loss)(params, wavs, lengths, rng)
-        g = _select_layer(g, active_layerid)
+        sel, rest = _split_layer(params, active_layerid)
+
+        def loss_sel(s):
+            return batch_loss(_merge_trees(s, rest), wavs, lengths, rng)
+
+        g = jax.grad(loss_sel)(sel)
         flat = jnp.concatenate([l.reshape(-1) for l in jax.tree.leaves(g)])
         return flat[None, :]
 
     @jax.jit
     def scoring_per_sample(params, wavs, lengths, rng):
-        g = per_sample_grads(params, wavs, lengths, rng)
-        g = _select_layer(g, active_layerid)
+        sel, rest = _split_layer(params, active_layerid)
+
+        def one(s, w, l, k):
+            return batch_loss(_merge_trees(s, rest), w[None], l[None], k)
+
+        keys = jax.random.split(rng, wavs.shape[0])
+        g = jax.vmap(jax.grad(one), in_axes=(None, 0, 0, 0))(
+            sel, wavs, lengths, keys
+        )
         return _flatten(g)
 
     def scoring(params, wavs, lengths, mean: bool = False, rng=None):

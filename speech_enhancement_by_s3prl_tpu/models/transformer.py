@@ -180,9 +180,19 @@ class SelfAttention(nn.Module):
         naive = os.environ.get("SE_ATTN_IMPL", "fused") == "naive"
         # query-chunked dropout path: only usable when the bias (if any)
         # broadcasts over the query axis — true at every call site (the
-        # encoder passes None)
-        drop_chunk = int(os.environ.get("SE_ATTN_DROPOUT_CHUNK", "128"))
+        # encoder passes None). A MEMORY lever, not a throughput one: it
+        # lifts the explicit path's (B, N, T, T) fwd+bwd probs tensor but
+        # pays ~25% recompute (measured 784x vs 970x at the bf16 B=64
+        # Mockingjay workload, flat in batch — docs/PERF.md), so it is
+        # opt-in for when the probs tensor is what OOMs (e.g. f32
+        # finetuning at batch >= 96 x 1001 frames).
+        drop_chunk = int(os.environ.get("SE_ATTN_DROPOUT_CHUNK", "0"))
         chunkable = attn_mask is None or attn_mask.shape[-2] == 1
+        # (the jax.experimental Pallas TPU flash kernel was tried here for
+        # the no-dropout path and rejected: it requires block_q <= T —
+        # breaking the shape-inference dummy call and T % block padding
+        # without a bias-tensor mask — and attention is not this model's
+        # bottleneck at T=1001; docs/PERF.md round-3 ablations)
         if not drops_attn and not naive:
             ctx = jax.nn.dot_product_attention(
                 q, k, v, bias=attn_mask, scale=scale

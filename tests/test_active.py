@@ -66,6 +66,65 @@ def test_scoring_layer_filtering(corpus, tmp_path):
     assert only0.shape[1] < full.shape[1]
 
 
+def test_layer_split_grads_match_filtering(corpus, tmp_path):
+    # the scoring fn differentiates ONLY the selected subtree (skips the
+    # other layers' per-sample outer products); must equal grad-then-filter
+    # coordinate for coordinate
+    import jax as _jax
+
+    from speech_enhancement_by_s3prl_tpu.active.sampler import (
+        _flatten,
+        _select_layer,
+        _split_layer,
+        _merge_trees,
+    )
+    from speech_enhancement_by_s3prl_tpu.runner.trainer import make_context
+
+    runner, *_ = make_runner(corpus, tmp_path)
+    sb = runner.builder
+    rng = np.random.default_rng(3)
+    wavs = jnp.asarray(rng.standard_normal((2, 3, 8000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([8000, 6000])
+
+    # merge/split round-trips the tree
+    sel, rest = _split_layer(runner.state.params, 0)
+    merged = _merge_trees(sel, rest)
+    for a, b in zip(_jax.tree.leaves(merged),
+                    _jax.tree.leaves(runner.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def full_loss(p):
+        ctx = make_context(sb.preprocessor, wavs, lengths, sb.channel_inp,
+                           sb.channel_tar)
+        loss, _ = sb.loss_fn(p, ctx, rngs={"dropout": _jax.random.PRNGKey(0)})
+        return loss
+
+    g_full = _select_layer(_jax.grad(full_loss)(runner.state.params), 0)
+    g_split = _jax.grad(lambda s: full_loss(_merge_trees(s, rest)))(sel)
+    fa = np.concatenate([np.asarray(l).ravel() for l in _jax.tree.leaves(g_full)])
+    fb = np.concatenate([np.asarray(l).ravel() for l in _jax.tree.leaves(g_split)])
+    np.testing.assert_allclose(fa, fb, atol=1e-6)
+
+    # and the public scoring fn produces the same embedding as an
+    # explicit grad-then-filter per-sample computation
+    l0_fn = make_scoring_fn(sb, active_layerid=0)
+    emb = np.asarray(l0_fn(runner.state.params, np.asarray(wavs),
+                           np.asarray(lengths)))
+
+    def one(p, w, l, k):
+        ctx = make_context(sb.preprocessor, w[None], l[None], sb.channel_inp,
+                           sb.channel_tar)
+        loss, _ = sb.loss_fn(p, ctx, rngs={"dropout": k})
+        return loss
+
+    keys = _jax.random.split(_jax.random.PRNGKey(0), 2)
+    g_ref = _jax.vmap(_jax.grad(one), in_axes=(None, 0, 0, 0))(
+        runner.state.params, wavs, lengths, keys
+    )
+    ref = np.asarray(_flatten(_select_layer(g_ref, 0)))
+    np.testing.assert_allclose(emb, ref, atol=2e-5)
+
+
 def test_hist_scoring(corpus, tmp_path):
     runner, *_ = make_runner(corpus, tmp_path)
     rng = np.random.default_rng(2)
