@@ -66,14 +66,21 @@ ALL_MODES = [
                    "SE_PALLAS_HS_BF16": "1",
                    "BENCH_EVAL_METRICS": "sisdr,stoi,estoi,pesq_nb,pesq_wb"}),
     ("upstream", {"BENCH_MODE": "upstream"}),
+    # SE_PRNG=rbg: hardware-RNG dropout masks, +10% over threefry at the
+    # same batch (1,114x vs 1,012x; docs/PERF.md). B=128 OOMs on the
+    # explicit probs tensor either way.
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
-                    "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0"}),
+                    "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
+                    "SE_PRNG": "rbg"}),
     # bf16 compute for the fwd/bwd under vmap(grad): embeddings stay f32
     # (grads of f32 params), per-sample cosine vs f32 >= 0.99998 and
     # match-rank order identical on the real chip (docs/PERF.md).
     ("score", {"BENCH_MODE": "score", "SE_PALLAS_LSTM": "0",
                "BENCH_DTYPE": "bf16"}),
     ("loader", {"BENCH_MODE": "loader"}),
+    # single-request serving latency (B=1), the serve.py fast path
+    ("latency", {"BENCH_MODE": "latency", "SE_PALLAS_LSTM": "1",
+                 "SE_PALLAS_HS_BF16": "1"}),
 ]
 
 
@@ -267,6 +274,13 @@ def main():
 
     import jax
 
+    # SE_PRNG=rbg swaps jax's key impl for dropout-mask generation: the
+    # default threefry2x32 is a crypto-strength generator whose VPU cost
+    # scales with mask size — material for attention-dropout training
+    # where masks are (B, N, T, T). rbg uses the hardware RNG op.
+    if os.environ.get("SE_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["SE_PRNG"])
+
     # persistent compile cache: remote compiles through the axon tunnel are
     # expensive (tens of seconds each); cache them across runs (TPU only —
     # CPU AOT cache entries can abort on machine-feature mismatch)
@@ -305,6 +319,62 @@ def main():
     lengths = jnp.full((batch,), T, jnp.int32)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    if os.environ.get("BENCH_MODE", "enhance") == "latency":
+        # single-request serving latency: the device completion time of ONE
+        # B=1 enhance call (the serve.py fast path for an uncontended
+        # request). TPU cores execute one program at a time, so dispatching
+        # the loop back-to-back and syncing once measures per-call wall
+        # time RTT-free (the one end-of-run fetch amortizes to <1 ms).
+        iters = int(os.environ.get("BENCH_ITERS", "50"))
+        from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+            compile_cached,
+        )
+
+        def enhance_sum1(params, wavs, lengths):
+            return enhance(params, wavs, lengths).sum()
+
+        lat_ms = {}
+        for sec in (10, 1):
+            Tl = sr * sec
+            w1 = jax.jit(
+                lambda k, tl=Tl: jax.random.normal(k, (1, 3, tl), jnp.float32)
+                * 0.05
+            )(jax.random.PRNGKey(0))
+            l1 = jnp.full((1,), Tl, jnp.int32)
+            f = None
+            if (
+                os.environ.get("SE_EXEC_CACHE", "1") == "1"
+                and jax.default_backend() != "cpu"
+            ):
+                f = compile_cached(
+                    enhance_sum1, params, w1, l1,
+                    fn_key=f"bench_latency_{sec}s|"
+                    + ",".join(
+                        f"{k}={os.environ.get(k, '')}"
+                        for k in ("SE_PALLAS_LSTM", "SE_PALLAS_HS_BF16",
+                                  "SE_LSTM_XW_BF16", "SE_PALLAS_TM")
+                    ),
+                    verbose=True,
+                )
+            if f is None:
+                f = jax.jit(enhance_sum1)
+            float(f(params, w1, l1))  # compile + warmup
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = f(params, w1, l1)
+            float(out)
+            lat_ms[sec] = (time.perf_counter() - t0) / iters * 1000.0
+        print(json.dumps({
+            "metric": "serve_latency_b1_10s_ms",
+            "value": round(lat_ms[10], 3),
+            "unit": "ms",
+            # single-stream realtime factor vs the 10x-RT north star
+            "vs_baseline": round((10.0 / (lat_ms[10] / 1000.0)) / 10.0, 3),
+            "latency_b1_1s_ms": round(lat_ms[1], 3),
+        }))
+        return
 
     if os.environ.get("BENCH_MODE", "enhance") == "train":
         # full train-step throughput (forward+backward+BertAdam update).

@@ -250,6 +250,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # SE_PRNG=rbg: hardware-RNG dropout keys — threefry mask generation
+    # is the dominant cost of attention-dropout finetuning at scale
+    # (docs/PERF.md Mockingjay section). Default stays threefry.
+    if os.environ.get("SE_PRNG"):
+        jax.config.update("jax_default_prng_impl", os.environ["SE_PRNG"])
+
     if getattr(args, "mesh", None):
         # multi-host pods: one-call jax.distributed setup (no-op for
         # single-process runs); the mesh itself is built in Runner.set_model
