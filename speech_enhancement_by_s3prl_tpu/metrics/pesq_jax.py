@@ -243,10 +243,10 @@ def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
     dec = 64  # 4 ms at 16 kHz
     T = ref.shape[-1]
     n = (T // dec) * dec
-    er = jnp.abs(ref[:, :n]).reshape(ref.shape[0], -1, dec).sum(-1)
-    ed = jnp.abs(deg[:, :n]).reshape(deg.shape[0], -1, dec).sum(-1)
-    er = er - er.mean(-1, keepdims=True)
-    ed = ed - ed.mean(-1, keepdims=True)
+    er_raw = jnp.abs(ref[:, :n]).reshape(ref.shape[0], -1, dec).sum(-1)
+    ed_raw = jnp.abs(deg[:, :n]).reshape(deg.shape[0], -1, dec).sum(-1)
+    er = er_raw - er_raw.mean(-1, keepdims=True)
+    ed = ed_raw - ed_raw.mean(-1, keepdims=True)
     L = er.shape[-1]
     nfft = 1 << (2 * L - 1).bit_length()
     X = jnp.fft.rfft(er, nfft)
@@ -265,8 +265,37 @@ def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
     lag = jnp.where(best <= md, best, best - (2 * md + 1))
     coarse = lag * dec
 
-    # fine pass: raw-signal cross-correlation, searched only within
-    # +/- dec samples of the coarse lag (pow2 FFT — see _fix_power_level)
+    # fine pass: raw-signal cross-correlation searched only within
+    # +/- dec samples of the coarse lag. For long signals it runs on a
+    # W-sample window centered on the reference's highest-energy
+    # envelope cell — same argmax for a bulk delay (any window holding
+    # signal energy votes the same lag), and it replaces three
+    # full-length pow2 FFTs (524,288-point at 10 s: ~50 ms of VPU time)
+    # with two slices and a (B, 2*dec+1, W) einsum on the MXU.
+    W = 4096
+    guard = max_delay + dec
+    if T >= W + 2 * guard:
+        center = jnp.argmax(er_raw, axis=-1) * dec + dec // 2
+        s_ref = jnp.clip(center - W // 2, guard, T - W - guard)
+        s_deg = s_ref + coarse  # |coarse| <= max_delay keeps this in range
+        ref_seg = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (W,))
+        )(ref, s_ref)
+        deg_wide = jax.vmap(
+            lambda row, s: jax.lax.dynamic_slice(row, (s,), (W + 2 * dec,))
+        )(deg, s_deg - dec)
+        win_idx = (
+            jnp.arange(2 * dec + 1)[:, None] + jnp.arange(W)[None, :]
+        )  # shared across rows -> XLA's fast shared-index gather path
+        xc_seg = jnp.einsum(
+            "bw,bow->bo", ref_seg, deg_wide[:, win_idx],
+            preferred_element_type=jnp.float32,
+            precision=_metric_precision(),
+        )
+        return coarse + (jnp.argmax(xc_seg, axis=-1) - dec)
+
+    # short signals: full-length FFT cross-correlation (cheap there;
+    # pow2 FFT — see _fix_power_level)
     nfft2 = 1 << (2 * T - 1).bit_length()
     Xf = jnp.fft.rfft(ref, nfft2)
     Yf = jnp.fft.rfft(deg, nfft2)
@@ -277,13 +306,23 @@ def _align_delay(ref: jnp.ndarray, deg: jnp.ndarray, max_delay: int):
     return coarse + offsets[jnp.argmax(fine_vals, axis=-1)]
 
 
-def _shift_back(x: jnp.ndarray, delay: jnp.ndarray):
+def _shift_back(x: jnp.ndarray, delay: jnp.ndarray, max_abs: int):
     """x[i, t] -> x[i, t + delay_i] (zero-padded): undo a per-utterance
-    lag so deg lines up with ref."""
+    lag so deg lines up with ref. ``max_abs`` statically bounds |delay|.
+
+    Implemented as vmap(dynamic_slice) into a zero-padded copy: the
+    row-dependent-offset gather this used to be hits XLA:TPU's slow
+    gather path (measured 241.6 ms for (128, 160k); the slice form is
+    6.6 ms, output bit-identical — this was the entire cost gap between
+    align=True and align=False PESQ, docs/PERF.md)."""
     T = x.shape[-1]
+    delay = jnp.clip(delay, -max_abs, max_abs)
+    padded = jnp.pad(x, ((0, 0), (max_abs, max_abs)))
+    out = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (T,))
+    )(padded, max_abs + delay)
     idx = jnp.arange(T)[None, :] + delay[:, None]
-    valid = (idx >= 0) & (idx < T)
-    return jnp.take_along_axis(x, jnp.clip(idx, 0, T - 1), axis=-1) * valid
+    return out * ((idx >= 0) & (idx < T))
 
 
 def pesq_batch(
@@ -320,7 +359,8 @@ def pesq_batch(
         frame_len_limit = None
     if align:
         delay = _align_delay(ref, deg, max_delay=fs // 2)
-        deg = _shift_back(deg, delay)
+        # |delay| <= coarse (clamped to max_delay) + one fine cell (64)
+        deg = _shift_back(deg, delay, max_abs=fs // 2 + 64)
         if lengths is not None:
             deg = deg * t_mask
 

@@ -36,6 +36,31 @@ def _signature(args, kwargs) -> str:
     return "|".join(parts)
 
 
+_SRC_HASH: Optional[str] = None
+
+
+def _source_hash() -> str:
+    """Content hash of every package source file. Without it a cached
+    executable silently keeps serving the OLD compiled program after a
+    source change (observed: a metrics rewrite that the eval bench then
+    didn't measure). Costs one ~1 MB hash per process, cached."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        h = hashlib.sha256()
+        pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        for root, dirs, files in sorted(os.walk(pkg_root)):
+            dirs.sort()
+            for name in sorted(files):
+                if name.endswith(".py"):
+                    p = os.path.join(root, name)
+                    h.update(p.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
 def _key(fn_key: str, args, kwargs) -> str:
     backend = jax.default_backend()
     try:
@@ -43,8 +68,8 @@ def _key(fn_key: str, args, kwargs) -> str:
     except Exception:
         platform_version = "unknown"
     raw = "|".join(
-        [jax.__version__, backend, str(platform_version), fn_key,
-         _signature(args, kwargs)]
+        [jax.__version__, backend, str(platform_version), _source_hash(),
+         fn_key, _signature(args, kwargs)]
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 
