@@ -309,8 +309,12 @@ def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
     for d in range(2):
         h_prev = jnp.where(first_t, 0.0, hsp_ref[0, d].astype(jnp.float32))
         c_prev = jnp.where(first_t, 0.0, csp_ref[0, d].astype(jnp.float32))
+        # whh may stream bf16 under SE_PALLAS_VJP_BF16 — cast the matmul
+        # inputs to its dtype (f32 path unchanged; bf16 path quantizes
+        # through the same gate-recompute channel as the residuals)
         gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
-            h_prev, whh_ref[d], preferred_element_type=jnp.float32
+            h_prev.astype(whh_ref.dtype), whh_ref[d],
+            preferred_element_type=jnp.float32,
         )
         i_g = jax.nn.sigmoid(gates[..., :H])
         f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
@@ -338,7 +342,7 @@ def _kernel_tm_bwd(xw_ref, whh_ref, hsp_ref, csp_ref, cs_ref, dhs_ref,
         dxw_ref[0, d] = da.astype(dxw_ref.dtype)
         # dh_{t-1} = da @ W_hh^T  (whh_ref[d] is (H, 4H) = W_hh^T)
         dh_scr[d] = jax.lax.dot_general(
-            da, whh_ref[d], (((1,), (1,)), ((), ())),
+            da.astype(whh_ref.dtype), whh_ref[d], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # dW_hh^T accumulation: h_{t-1}^T @ da -> (H, 4H)
@@ -401,6 +405,10 @@ def _tm_fwd_with_cell(xw_tm, whh, interpret):
 def _tm_bwd(xw_tm, whh, hs_tm, cs_tm, dhs_tm, interpret):
     T, d2, B, h4 = xw_tm.shape
     H = h4 // 4
+    # under SE_PALLAS_VJP_BF16 the recurrent weights also stream bf16 in
+    # the backward (the dW_hh output accumulator stays f32): shaves the
+    # constant whh block's VMEM share — part of what fits B=384
+    whh = whh.astype(_vjp_stream_dtype())
     rev = lambda t: (T - 1 - t, 0, 0, 0)            # noqa: E731
     rev_prev = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0, 0)  # noqa: E731
     dxw, dwhh = pl.pallas_call(
