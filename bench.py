@@ -51,11 +51,12 @@ ALL_MODES = [
     # winner (13,991x/15,079x/16,610x at 128/192/256); the scan path
     # peaked at B=128 (7,101x). Loss trajectories match the scan to ~6
     # decimals over 40 steps (train-quality check, docs/PERF.md).
-    # B=320 fits once dxw streams in xw's dtype and SE_PALLAS_VJP_BF16
-    # stores the backward's residual/cotangent streams bf16 (B=256 plain
-    # VJP 20.8k -> 21.8k; B=384 still 292KB over the scoped-VMEM limit).
+    # B=352 fits once dxw streams in xw's dtype and SE_PALLAS_VJP_BF16
+    # stores the backward's residual/cotangent/weight streams bf16
+    # (B=256 plain VJP 20.8k -> 320: 21.9k -> 352: 22.1k; B=384 remains
+    # over the scoped-VMEM limit).
     ("train", {"BENCH_MODE": "train", "SE_PALLAS_LSTM": "1",
-               "BENCH_BATCH": "320", "SE_PALLAS_VJP_BF16": "1"}),
+               "BENCH_BATCH": "352", "SE_PALLAS_VJP_BF16": "1"}),
     # eval's surrounding program leaves ~820KB less scoped VMEM than
     # enhance's, tipping the B=768 time-major kernel just over the 16MB
     # limit; the bf16 hidden-state OUT stream (measured cost ~0) frees
