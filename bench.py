@@ -67,12 +67,14 @@ ALL_MODES = [
                    "SE_PALLAS_HS_BF16": "1",
                    "BENCH_EVAL_METRICS": "sisdr,stoi,estoi,pesq_nb,pesq_wb"}),
     ("upstream", {"BENCH_MODE": "upstream"}),
-    # SE_PRNG=rbg: hardware-RNG dropout masks, +10% over threefry at the
-    # same batch (1,114x vs 1,012x; docs/PERF.md). B=128 OOMs on the
-    # explicit probs tensor either way.
+    # Dropout-live finetune champion config (docs/PERF.md): rbg hardware
+    # RNG (+10%), query-chunked attention whose per-chunk mask is the
+    # fused hash (no bits/probs tensors at all; chunk 256 sweep winner)
+    # — 1,309x vs 1,013x for naive+flax+threefry at the same B=64.
+    # B>=96 OOMs on the 6-layer FFN activation residuals, not attention.
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
-                    "SE_PRNG": "rbg"}),
+                    "SE_PRNG": "rbg", "SE_ATTN_DROPOUT_CHUNK": "256"}),
     # bf16 compute for the fwd/bwd under vmap(grad): embeddings stay f32
     # (grads of f32 params), per-sample cosine vs f32 >= 0.99998 and
     # match-rank order identical on the real chip (docs/PERF.md).
@@ -502,8 +504,16 @@ def main():
         )
 
         base = graft._build(delta=1)
+        # BENCH_MJ_DROPOUT overrides both dropout rates (diagnostic: rate
+        # 0 routes attention through the fused no-probs path, isolating
+        # what the explicit dropout-live path costs — docs/PERF.md)
+        tf_cfg = TransformerConfig(input_dim=80)
+        if os.environ.get("BENCH_MJ_DROPOUT") is not None:
+            rate = float(os.environ["BENCH_MJ_DROPOUT"])
+            tf_cfg.hidden_dropout_prob = rate
+            tf_cfg.attention_probs_dropout_prob = rate
         model = Mockingjay(
-            output_size=201, config=TransformerConfig(input_dim=80),
+            output_size=201, config=tf_cfg,
             compute_dtype=(
                 jnp.bfloat16
                 if os.environ.get("BENCH_DTYPE", "f32") in ("bf16", "bfloat16")

@@ -18,6 +18,7 @@ Parameter names mirror the torch checkpoint layout so the importer in
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 from typing import Any, Dict, Optional
@@ -89,6 +90,72 @@ def normal_init(stddev):
     return nn.initializers.normal(stddev=stddev)
 
 
+def hash_dropout(x, rate, key):
+    """Dropout whose mask is a salted integer hash of the element index,
+    computed INSIDE the consuming fusion — no random-bits tensor in HBM.
+
+    flax ``nn.Dropout`` on the (B, N, T, T) attention probs materializes
+    a same-shape u32 bits tensor, pays a layout-transposition copy of it,
+    and a pred compare — measured 118 ms of a 571 ms Mockingjay train
+    step on v5e (docs/PERF.md trace table). Here the uniform variate is
+    an xxhash-style avalanche of the flat element index salted by two
+    u32s drawn from ``key``: XLA fuses the iota + integer ops into the
+    surrounding elementwise work, so the mask never exists in memory.
+    Same Bernoulli(1-rate) process, a different (equally valid) stream —
+    the same contract as `chunked_dropout_attention`'s per-chunk stream.
+    Deterministic in ``key``.
+    """
+    if rate <= 0.0:
+        return x
+    salt = jax.random.bits(key, (2,), jnp.uint32)
+    # salt rides as an f32 bitcast so the custom VJP can return an
+    # ordinary zero cotangent for it
+    return _hash_dropout_vjp(
+        x, jax.lax.bitcast_convert_type(salt, jnp.float32), rate
+    )
+
+
+def _hash_mask_apply(x, salt_f, rate):
+    keep = 1.0 - rate
+    salt = jax.lax.bitcast_convert_type(salt_f, jnp.uint32)
+    # flat index within x[0] (< 2^32 always) mixed with the leading-axis
+    # index separately, so tensors past 2^32 total elements never wrap
+    inner_n = 1
+    for d in x.shape[1:]:
+        inner_n *= int(d)
+    inner = jnp.arange(inner_n, dtype=jnp.uint32).reshape((1,) + x.shape[1:])
+    lead = jax.lax.broadcasted_iota(jnp.uint32, x.shape, 0)
+    h = inner * jnp.uint32(2654435761) ^ lead * jnp.uint32(40503) ^ salt[0]
+    h ^= h >> 16
+    h *= jnp.uint32(2246822519)
+    h ^= h >> 13
+    h ^= salt[1]
+    h *= jnp.uint32(3266489917)
+    h ^= h >> 16
+    thresh = jnp.uint32(min(int(keep * 4294967296.0), 4294967295))
+    return jnp.where(h < thresh, x / keep, jnp.zeros_like(x))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_dropout_vjp(x, salt_f, rate):
+    return _hash_mask_apply(x, salt_f, rate)
+
+
+def _hash_dropout_fwd(x, salt_f, rate):
+    # residual = the 8-byte salt ONLY: the backward re-derives the mask
+    # from it, so no (B, N, T, T) predicate tensor is ever stored (plain
+    # autodiff through where() keeps one — 770 MB at the Mockingjay
+    # bench shape, enough to tip B=64 over the HBM ceiling)
+    return _hash_mask_apply(x, salt_f, rate), salt_f
+
+
+def _hash_dropout_bwd(rate, salt_f, g):
+    return _hash_mask_apply(g, salt_f, rate), jnp.zeros_like(salt_f)
+
+
+_hash_dropout_vjp.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
+
+
 def chunked_dropout_attention(q, k, v, bias, scale, rate, rng, chunk, dt):
     """Attention WITH probability dropout, without the (B, N, T, T) HBM
     tensor: queries are processed in time chunks under ``jax.checkpoint``,
@@ -122,10 +189,16 @@ def chunked_dropout_attention(q, k, v, bias, scale, rate, rng, chunk, dt):
         if bias is not None:
             logits = logits + bias
         probs = jax.nn.softmax(logits, axis=-1)
-        mask = jax.random.bernoulli(
-            jax.random.fold_in(rng, i), keep, probs.shape
-        )
-        probs = jnp.where(mask, probs / keep, 0.0).astype(dt)
+        if os.environ.get("SE_DROPOUT_IMPL", "hash") != "flax":
+            # fused hash mask (salted per chunk): no bits tensor at all
+            probs = hash_dropout(
+                probs.astype(dt), rate, jax.random.fold_in(rng, i)
+            )
+        else:
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(rng, i), keep, probs.shape
+            )
+            probs = jnp.where(mask, probs / keep, 0.0).astype(dt)
         return jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         )
@@ -210,9 +283,22 @@ class SelfAttention(nn.Module):
             if attn_mask is not None:
                 logits = logits + attn_mask
             probs = jax.nn.softmax(logits, axis=-1).astype(dt)
-            probs = nn.Dropout(c.attention_probs_dropout_prob)(
-                probs, deterministic=deterministic
-            )
+            if drops_attn and os.environ.get("SE_DROPOUT_IMPL") == "hash":
+                # fused hash mask: no (B, N, T, T) bits tensor in HBM.
+                # Opt-in on THIS (full-probs) path: the mask cost it
+                # removes is real (~118 ms/step at the bf16 B=64
+                # Mockingjay shape), but removing those tensors also
+                # reshuffles XLA's remat of the f32 softmax temporaries
+                # and tipped that very shape over the HBM ceiling —
+                # the chunked path is where hash dropout pays off.
+                probs = hash_dropout(
+                    probs, c.attention_probs_dropout_prob,
+                    self.make_rng("dropout"),
+                )
+            else:
+                probs = nn.Dropout(c.attention_probs_dropout_prob)(
+                    probs, deterministic=deterministic
+                )
             ctx = jnp.einsum(
                 "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
             )

@@ -94,6 +94,69 @@ def test_grads_flow_and_are_finite():
         assert float(jnp.abs(g).max()) > 0.0
 
 
+def test_hash_dropout_statistics():
+    from speech_enhancement_by_s3prl_tpu.models.transformer import (
+        hash_dropout,
+    )
+
+    x = jnp.ones((8, 5, 97, 64), jnp.float32)
+    rate = 0.3
+    out = np.asarray(hash_dropout(x, rate, jax.random.PRNGKey(0)))
+    # kept entries are scaled 1/keep, dropped are exactly 0
+    kept = out > 0
+    np.testing.assert_allclose(out[kept], 1.0 / (1.0 - rate), rtol=1e-6)
+    # empirical drop fraction ~ rate (n = 2.4M -> very tight)
+    frac = 1.0 - kept.mean()
+    assert abs(frac - rate) < 0.005, frac
+    # per-row balance: no row is systematically skewed (mask must not
+    # correlate with position in an obvious way)
+    row_frac = 1.0 - kept.reshape(-1, 64).mean(1)
+    assert abs(float(row_frac.mean()) - rate) < 0.005
+    assert float(row_frac.std()) < 0.09  # binomial std at n=64 is 0.057
+    # deterministic in key; different keys differ
+    out2 = np.asarray(hash_dropout(x, rate, jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(out, out2)
+    out3 = np.asarray(hash_dropout(x, rate, jax.random.PRNGKey(1)))
+    assert (out != out3).any()
+    # expectation preserved on real data
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((64, 4096)), jnp.float32)
+    acc = np.zeros(y.shape, np.float64)
+    for i in range(32):
+        acc += np.asarray(hash_dropout(y, rate, jax.random.PRNGKey(10 + i)))
+    err = np.abs(acc / 32 - np.asarray(y)).mean() / np.abs(np.asarray(y)).mean()
+    assert err < 0.2, err
+    # rate 0 is the identity, and grads flow
+    np.testing.assert_array_equal(
+        np.asarray(hash_dropout(y, 0.0, jax.random.PRNGKey(0))), np.asarray(y)
+    )
+    g = jax.grad(lambda t: hash_dropout(t, rate, jax.random.PRNGKey(2)).sum())(y)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_encoder_attn_dropout_impls_agree_in_distribution(monkeypatch):
+    # hash (default) vs flax impl: same Bernoulli process, different
+    # stream — both train-mode forwards finite, deterministic path equal
+    cfg = TransformerConfig(
+        input_dim=12, hidden_size=24, num_hidden_layers=1,
+        num_attention_heads=3, intermediate_size=48,
+        attention_probs_dropout_prob=0.4, hidden_dropout_prob=0.0,
+    )
+    enc = TransformerEncoder(cfg)
+    rng = np.random.default_rng(8)
+    spec = jnp.asarray(rng.standard_normal((2, 21, 12)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), spec)
+    monkeypatch.setenv("SE_ATTN_IMPL", "naive")
+    monkeypatch.setenv("SE_DROPOUT_IMPL", "hash")  # opt-in on this path
+    a = enc.apply(params, spec, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(3)})
+    monkeypatch.setenv("SE_DROPOUT_IMPL", "flax")
+    b = enc.apply(params, spec, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(3)})
+    assert bool(jnp.all(jnp.isfinite(a))) and bool(jnp.all(jnp.isfinite(b)))
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6  # streams differ
+
+
 def test_encoder_training_uses_chunked_path(monkeypatch):
     # module-level: a train-mode forward with attention dropout on runs
     # through the chunked path (default) and through the naive path
