@@ -519,6 +519,9 @@ def main():
                 if os.environ.get("BENCH_DTYPE", "f32") in ("bf16", "bfloat16")
                 else jnp.float32
             ),
+            # SE_TF_REMAT=1: rematerialized encoder layers — trades one
+            # extra forward for the FFN residuals, raising the batch cap
+            remat=os.environ.get("SE_TF_REMAT", "0") == "1",
         )
         builder = dataclasses.replace(
             base, model=model, from_waveform=True, from_rawfeature=False

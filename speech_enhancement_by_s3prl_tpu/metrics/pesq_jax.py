@@ -414,13 +414,21 @@ def pesq_batch(
     aud_deg = audible(B_deg)
     ratio = (aud_ref + 5e3) / (aud_deg + 5e3)
 
-    def smooth(carry, r):
-        s = 0.2 * carry + 0.8 * r
-        return s, s
+    # EMA s_t = 0.2 s_{t-1} + 0.8 r_t (frame 0 keeps its raw ratio) as an
+    # ASSOCIATIVE scan: the linear recurrence composes as
+    # (A2,B2)o(A1,B1) = (A1*A2, A2*B1 + B2), so the ~1000 sequential
+    # lax.scan steps (tiny per-step body, pure loop overhead on TPU)
+    # become a log-depth sweep. Same values up to fp reassociation.
+    A = jnp.full_like(ratio, 0.2).at[:, 0].set(0.0)
+    Bv = (0.8 * ratio).at[:, 0].set(ratio[:, 0])
 
-    # frame 0 keeps its raw ratio (carry initialized to it)
-    _, ratio_s = jax.lax.scan(smooth, ratio[:, 0], ratio.T)
-    ratio_s = jnp.clip(ratio_s.T, 3e-4, 5.0)
+    def _comb(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    _, ratio_s = jax.lax.associative_scan(_comb, (A, Bv), axis=1)
+    ratio_s = jnp.clip(ratio_s, 3e-4, 5.0)
     B_deg_eq = B_deg * ratio_s[..., None]
 
     # modified Zwicker loudness (Sl scale, per-band exponent)

@@ -62,6 +62,10 @@ class Mockingjay(nn.Module):
     activation: str = "ReLU"
     eps: float = 1e-6
     compute_dtype: Any = jnp.float32  # bf16 finetune: f32 LN/accumulation
+    # rematerialize encoder layers under autodiff (memory <-> FLOPs):
+    # drops the per-layer FFN activation residuals that cap the
+    # finetune batch (docs/PERF.md Mockingjay table)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -69,7 +73,8 @@ class Mockingjay(nn.Module):
     ) -> Tuple[jnp.ndarray, Aux]:
         cfg = self.config or TransformerConfig()
         hidden = TransformerEncoder(
-            cfg, compute_dtype=self.compute_dtype, name="mockingjay"
+            cfg, compute_dtype=self.compute_dtype, remat=self.remat,
+            name="mockingjay",
         )(features, deterministic=deterministic)
         raw, _ = TransformerSpecPredictionHead(cfg, self.output_size, name="spechead")(
             hidden
