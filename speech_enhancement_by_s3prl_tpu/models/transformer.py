@@ -253,12 +253,12 @@ class SelfAttention(nn.Module):
         naive = os.environ.get("SE_ATTN_IMPL", "fused") == "naive"
         # query-chunked dropout path: only usable when the bias (if any)
         # broadcasts over the query axis — true at every call site (the
-        # encoder passes None). A MEMORY lever, not a throughput one: it
-        # lifts the explicit path's (B, N, T, T) fwd+bwd probs tensor but
-        # pays ~25% recompute (measured 784x vs 970x at the bf16 B=64
-        # Mockingjay workload, flat in batch — docs/PERF.md), so it is
-        # opt-in for when the probs tensor is what OOMs (e.g. f32
-        # finetuning at batch >= 96 x 1001 frames).
+        # encoder passes None). With the (default) hash masks this is the
+        # measured dropout-live champion (1,309x vs 1,013x for the
+        # full-probs path at the bf16 B=64 Mockingjay workload, chunk
+        # 256 — docs/PERF.md) and it deletes every (B, N, T, T) tensor;
+        # it stays opt-in at the CLI so default runs keep the flax mask
+        # stream, and the bench/production configs turn it on.
         drop_chunk = int(os.environ.get("SE_ATTN_DROPOUT_CHUNK", "0"))
         chunkable = attn_mask is None or attn_mask.shape[-2] == 1
         # (the jax.experimental Pallas TPU flash kernel was tried here for
