@@ -410,6 +410,7 @@ def main():
                     "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                     "SE_PALLAS_TM", "SE_PALLAS_HS_BF16", "SE_LSTM_REMAT",
                     "SE_PALLAS_VJP_BF16", "SE_PALLAS_MXU_BF16",
+                    "SE_PALLAS_GATES_BF16",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
             up = builder.upstream_params()
@@ -627,7 +628,7 @@ def main():
                     "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                     "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
                     "SE_PALLAS_HS_BF16", "SE_PALLAS_MXU_BF16",
-                    "SE_METRIC_CHUNK",
+                    "SE_PALLAS_GATES_BF16", "SE_METRIC_CHUNK",
                     "BENCH_EVAL_METRICS", "SE_METRIC_PRECISION",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
@@ -693,6 +694,7 @@ def main():
                 "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
                 "SE_PALLAS_BB", "SE_PALLAS_CHUNK", "SE_PALLAS_TM",
                 "SE_PALLAS_HS_BF16", "SE_PALLAS_MXU_BF16",
+                "SE_PALLAS_GATES_BF16",
             )
         ) + f",unroll={DEFAULT_UNROLL}"
         fn = compile_cached(

@@ -149,7 +149,7 @@ def lstm_bidir_pallas_fused(
 
 
 def _kernel_tm(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, hidden,
-               mxu_bf16=False):
+               mxu_bf16=False, gates_bf16=False):
     """Time-major grid step: ONE timestep, FULL batch, both directions.
 
     Grid is (T,) — the sequential step count matches the scan exactly
@@ -179,12 +179,27 @@ def _kernel_tm(xw_ref, whh_ref, hs_ref, h_scr, c_scr, *, hidden,
         gates = xw_ref[0, d].astype(jnp.float32) + jnp.dot(
             h_in, whh_ref[d], preferred_element_type=jnp.float32
         )
-        i_g = jax.nn.sigmoid(gates[..., :H])
-        f_g = jax.nn.sigmoid(gates[..., H : 2 * H])
+        if gates_bf16:
+            # SE_PALLAS_GATES_BF16: run the 4 sigmoid/tanh passes (the
+            # kernel's VPU share) on bf16 values; the c recurrence stays
+            # f32 — same quantization channel as the bf16 xw stream.
+            # sigmoid spelled via tanh: Mosaic's bf16 `logistic` lowering
+            # is broken in this jax (f32->bf16 vector.broadcast verify
+            # error); bf16 tanh lowers fine.
+            gates = gates.astype(jnp.bfloat16)
+            half = jnp.bfloat16(0.5)
+            sig = lambda t: jnp.tanh(t * half) * half + half  # noqa: E731
+        else:
+            sig = jax.nn.sigmoid
+        i_g = sig(gates[..., :H])
+        f_g = sig(gates[..., H : 2 * H])
         g_g = jnp.tanh(gates[..., 2 * H : 3 * H])
-        o_g = jax.nn.sigmoid(gates[..., 3 * H :])
-        c = f_g * c_scr[d] + i_g * g_g
-        h = o_g * jnp.tanh(c)
+        o_g = sig(gates[..., 3 * H :])
+        c = (
+            f_g.astype(jnp.float32) * c_scr[d]
+            + (i_g * g_g).astype(jnp.float32)
+        )
+        h = o_g.astype(jnp.float32) * jnp.tanh(c)
         c_scr[d] = c
         h_scr[d] = h
         hs_ref[0, d] = h.astype(hs_ref.dtype)
@@ -217,6 +232,7 @@ def lstm_bidir_pallas_tm(
             else jnp.float32
         )
     mxu_bf16 = os.environ.get("SE_PALLAS_MXU_BF16", "0") == "1"
+    gates_bf16 = os.environ.get("SE_PALLAS_GATES_BF16", "0") == "1"
     d2, B, T, h4 = xw.shape
     H = h4 // 4
     assert d2 == 2 and w_hh_t.shape == (2, H, h4)
@@ -224,7 +240,8 @@ def lstm_bidir_pallas_tm(
     whh_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
     xw_tm = jnp.moveaxis(xw, 2, 0)  # (T, 2, B, 4H)
     out = pl.pallas_call(
-        functools.partial(_kernel_tm, hidden=H, mxu_bf16=mxu_bf16),
+        functools.partial(_kernel_tm, hidden=H, mxu_bf16=mxu_bf16,
+                          gates_bf16=gates_bf16),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 2, B, h4), lambda t: (t, 0, 0, 0),
