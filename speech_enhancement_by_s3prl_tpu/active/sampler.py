@@ -136,9 +136,19 @@ def make_scoring_fn(
         loss, _ = sb.loss_fn(params, ctx, rngs={"dropout": rng})
         return loss
 
+    def _checked_split(params):
+        sel, rest = _split_layer(params, active_layerid)
+        if active_layerid is not None and not jax.tree.leaves(sel):
+            raise ValueError(
+                f"--active_layerid {active_layerid}: no parameter path "
+                f"contains 'l{active_layerid}_' — the configured "
+                "downstream has no such LSTM layer"
+            )
+        return sel, rest
+
     @jax.jit
     def scoring_mean(params, wavs, lengths, rng):
-        sel, rest = _split_layer(params, active_layerid)
+        sel, rest = _checked_split(params)
 
         def loss_sel(s):
             return batch_loss(_merge_trees(s, rest), wavs, lengths, rng)
@@ -149,7 +159,7 @@ def make_scoring_fn(
 
     @jax.jit
     def scoring_per_sample(params, wavs, lengths, rng):
-        sel, rest = _split_layer(params, active_layerid)
+        sel, rest = _checked_split(params)
 
         def one(s, w, l, k):
             return batch_loss(_merge_trees(s, rest), w[None], l[None], k)

@@ -125,6 +125,18 @@ def test_layer_split_grads_match_filtering(corpus, tmp_path):
     np.testing.assert_allclose(emb, ref, atol=2e-5)
 
 
+def test_bad_layerid_fails_loudly(corpus, tmp_path):
+    import pytest as _pytest
+
+    runner, *_ = make_runner(corpus, tmp_path)
+    fn = make_scoring_fn(runner.builder, active_layerid=99)
+    rng = np.random.default_rng(4)
+    wavs = rng.standard_normal((2, 3, 8000)).astype(np.float32) * 0.1
+    lengths = np.asarray([8000, 8000])
+    with _pytest.raises(ValueError, match="l99_"):
+        fn(runner.state.params, wavs, lengths)
+
+
 def test_hist_scoring(corpus, tmp_path):
     runner, *_ = make_runner(corpus, tmp_path)
     rng = np.random.default_rng(2)
