@@ -156,6 +156,26 @@ def _hash_dropout_bwd(rate, salt_f, g):
 _hash_dropout_vjp.defvjp(_hash_dropout_fwd, _hash_dropout_bwd)
 
 
+def hidden_dropout(mod: nn.Module, x, rate: float, deterministic: bool):
+    """Hidden-state dropout with a swappable mask implementation.
+
+    The encoder has 13 hidden dropout sites per step (input + 2 per layer
+    x 6) on (B, T, H) activations. flax ``nn.Dropout`` draws a same-shape
+    u32 bits tensor for each and keeps the keep-mask as an autodiff
+    residual; ``SE_HIDDEN_DROPOUT_IMPL=hash`` swaps in the fused
+    integer-hash mask (hash_dropout above) whose backward re-derives the
+    mask from an 8-byte salt — no bits or predicate tensors in HBM. Same
+    Bernoulli(1-rate) process, a different (equally valid) stream, so it
+    is opt-in: default runs keep flax masks for reference-reproducible
+    streams (the same contract as SE_DROPOUT_IMPL for attention probs).
+    """
+    if deterministic or rate <= 0.0:
+        return x
+    if os.environ.get("SE_HIDDEN_DROPOUT_IMPL", "flax") == "hash":
+        return hash_dropout(x, rate, mod.make_rng("dropout"))
+    return nn.Dropout(rate)(x, deterministic=False)
+
+
 def chunked_dropout_attention(q, k, v, bias, scale, rate, rng, chunk, dt):
     """Attention WITH probability dropout, without the (B, N, T, T) HBM
     tensor: queries are processed in time chunks under ``jax.checkpoint``,
@@ -310,7 +330,7 @@ class SelfAttention(nn.Module):
             name="output",
             dtype=dt,
         )(ctx)
-        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = hidden_dropout(self, out, c.hidden_dropout_prob, deterministic)
         return out
 
 
@@ -342,7 +362,7 @@ class TransformerLayer(nn.Module):
             name="output",
             dtype=dt,
         )(inter)
-        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = hidden_dropout(self, out, c.hidden_dropout_prob, deterministic)
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_ln")(
             (hidden + out).astype(jnp.float32)
         )
@@ -393,7 +413,7 @@ class TransformerEncoder(nn.Module):
         else:
             hidden = hidden + pe[None, :t_local]
         hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="input_ln")(hidden)
-        hidden = nn.Dropout(c.hidden_dropout_prob)(hidden, deterministic=deterministic)
+        hidden = hidden_dropout(self, hidden, c.hidden_dropout_prob, deterministic)
 
         layer_cls = (
             nn.remat(TransformerLayer, static_argnums=(3,))

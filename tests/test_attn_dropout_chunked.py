@@ -157,6 +157,61 @@ def test_encoder_attn_dropout_impls_agree_in_distribution(monkeypatch):
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6  # streams differ
 
 
+def test_hidden_dropout_hash_impl(monkeypatch):
+    # SE_HIDDEN_DROPOUT_IMPL=hash swaps the 13 hidden-state nn.Dropout
+    # sites for the fused hash mask: deterministic forwards must be
+    # impl-independent, train-mode forwards finite with working grads,
+    # and the empirical drop rate must match the configured probability.
+    cfg = TransformerConfig(
+        input_dim=12, hidden_size=24, num_hidden_layers=2,
+        num_attention_heads=3, intermediate_size=48,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.35,
+    )
+    enc = TransformerEncoder(cfg)
+    rng = np.random.default_rng(11)
+    spec = jnp.asarray(rng.standard_normal((2, 21, 12)), jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), spec)
+
+    monkeypatch.setenv("SE_HIDDEN_DROPOUT_IMPL", "hash")
+    det_h = enc.apply(params, spec, deterministic=True)
+    monkeypatch.setenv("SE_HIDDEN_DROPOUT_IMPL", "flax")
+    det_f = enc.apply(params, spec, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det_h), np.asarray(det_f))
+
+    monkeypatch.setenv("SE_HIDDEN_DROPOUT_IMPL", "hash")
+    out1 = enc.apply(params, spec, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(5)})
+    out2 = enc.apply(params, spec, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(5)})
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = enc.apply(params, spec, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(6)})
+    assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-6
+    assert bool(jnp.all(jnp.isfinite(out1)))
+
+    # drop-rate statistics measured directly at one dropout site: the
+    # encoder input dropout feeds the first LayerNorm, so probe the
+    # helper itself on a large activation (the module path is already
+    # covered by finiteness + determinism above)
+    from speech_enhancement_by_s3prl_tpu.models.transformer import (
+        hash_dropout,
+    )
+
+    big = jnp.ones((64, 1001, 24), jnp.float32)
+    kept = np.asarray(hash_dropout(big, 0.35, jax.random.PRNGKey(2))) > 0
+    assert abs((1.0 - kept.mean()) - 0.35) < 0.005
+
+    def loss(p):
+        out = enc.apply(p, spec, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(9)})
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(params)
+    flat = jnp.concatenate([l.ravel() for l in jax.tree.leaves(g)])
+    assert bool(jnp.all(jnp.isfinite(flat)))
+    assert float(jnp.abs(flat).max()) > 0.0
+
+
 def test_encoder_training_uses_chunked_path(monkeypatch):
     # module-level: a train-mode forward with attention dropout on runs
     # through the chunked path (default) and through the naive path
