@@ -61,7 +61,8 @@ def _speech(rng, n_samp, sr=16000):
 
 
 def _white(rng, n_samp):
-    return (rng.standard_normal(n_samp) * 0.3).astype(np.float32)
+    x = rng.standard_normal(n_samp)
+    return (x / (np.abs(x).max() + 1e-9) * 0.5).astype(np.float32)
 
 
 def _pink(rng, n_samp):
