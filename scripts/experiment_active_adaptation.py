@@ -279,7 +279,13 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
         matches, scores, seen = 0, [], 0
         it = iter(cloader)
         for _ in range(args.enrich_batches):
-            lengths, wavs, _cases = next(it)
+            try:
+                lengths, wavs, _cases = next(it)
+            except StopIteration:
+                # small per-domain pools exhaust in a couple of batches
+                # (len(speech) // batch with drop_last) — restart the epoch
+                it = iter(cloader)
+                lengths, wavs, _cases = next(it)
             m = np.asarray(matching(
                 q_scores, scoring(runner.state.params, wavs, lengths)
             ))
@@ -354,10 +360,18 @@ def main(argv=None):
     with open(pre_path, "w") as f:
         yaml.safe_dump(pre_cfg, f)
 
+    import glob as globlib
+
     import pretrain_upstream
 
     ups = {}
     for name, tch in [("noisy2clean", 1), ("noisy2noise", 2)]:
+        done = [p for p in globlib.glob(
+            os.path.join(wd, "upstreams", name, "states-*.ckpt"))]
+        if done:
+            ups[name] = done[0]
+            print(f"[experiment] reusing upstream {ups[name]}", flush=True)
+            continue
         ups[name] = pretrain_upstream.main([
             "--name", name, "--expdir", os.path.join(wd, "upstreams"),
             "--config", pre_path,
@@ -379,14 +393,15 @@ def main(argv=None):
     src_cfg_path = os.path.join(wd, "source.yaml")
     with open(src_cfg_path, "w") as f:
         yaml.safe_dump(src_cfg, f)
-    _run_cli([
-        "--name", "source", "--config", src_cfg_path,
-        "--expdir", os.path.join(wd, "down"),
-        "--upstream", "baseline", "--upstream2", "baseline",
-        "--from_rawfeature", "--downstream", "LSTM",
-        "--objective", args.objective, "--seed", str(args.seed),
-        "--dev_num", "2", "--n_jobs", "1",
-    ] + (["--cpu"] if args.cpu else []))
+    if not globlib.glob(os.path.join(wd, "down", "source", "states-*.ckpt")):
+        _run_cli([
+            "--name", "source", "--config", src_cfg_path,
+            "--expdir", os.path.join(wd, "down"),
+            "--upstream", "baseline", "--upstream2", "baseline",
+            "--from_rawfeature", "--downstream", "LSTM",
+            "--objective", args.objective, "--seed", str(args.seed),
+            "--dev_num", "2", "--n_jobs", "1",
+        ] + (["--cpu"] if args.cpu else []))
     dckpt = _last_ckpt(os.path.join(wd, "down", "source"))
     print(f"[experiment] source-domain warm start: {dckpt}", flush=True)
 
@@ -417,9 +432,13 @@ def main(argv=None):
         ("uniform", []),
     ]:
         expdir = os.path.join(wd, "adapt", mode)
-        _run_cli(["--name", mode, "--expdir", os.path.join(wd, "adapt")]
-                 + common + extra)
-        tb = _tb_metrics(expdir)
+        tb = _tb_metrics(expdir) if os.path.isdir(expdir) else {}
+        if any(len(v) >= 2 for v in tb.values()):
+            print(f"[experiment] reusing finished {mode} run", flush=True)
+        else:
+            _run_cli(["--name", mode, "--expdir", os.path.join(wd, "adapt")]
+                     + common + extra)
+            tb = _tb_metrics(expdir)
         results[mode] = {
             tag: {"init": vals[0][1], "final": vals[-1][1]}
             for tag, vals in tb.items()
