@@ -226,8 +226,12 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
     prefer target-family noise?"""
     import jax
 
+    import jax.numpy as jnp
+
     import run_downstream as rd
     from speech_enhancement_by_s3prl_tpu.active.sampler import (
+        hist_scoring,
+        hist_thresholding,
         make_scoring_fn,
         matching,
     )
@@ -269,6 +273,10 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
     qloader = runner.get_dataloader(queryset, bsz=args.query_num)
     q_len, q_wavs, _ = next(iter(qloader))
     q_scores = scoring(runner.state.params, q_wavs, q_len, mean=True)
+    # the reference's alternative scorer: noise-spectrum histogram
+    # signatures (/root/reference/sampler.py:219-235) — the query batch's
+    # pseudo-noise channel vs each candidate's real noise channel
+    q_hist = hist_scoring(runner.preprocessor, jnp.asarray(q_wavs), mean=True)
 
     rates = {}
     for domain, noise_dir in domains.items():
@@ -277,6 +285,7 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
         cand = runner.get_dataset("train")
         cloader = runner.get_dataloader(cand, bsz=args.active_batch_size)
         matches, scores, seen = 0, [], 0
+        hist_matches, hist_scores = 0, []
         it = iter(cloader)
         for _ in range(args.enrich_batches):
             try:
@@ -291,10 +300,17 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
             ))
             matches += int((m > 0).sum())
             scores.extend(m.tolist())
+            mh = np.asarray(matching(
+                q_hist, hist_scoring(runner.preprocessor, jnp.asarray(wavs))
+            ))
+            hist_matches += int(np.asarray(hist_thresholding(mh)).sum())
+            hist_scores.extend(mh.tolist())
             seen += len(m)
         rates[domain] = {
             "match_rate": matches / seen,
             "mean_score": float(np.mean(scores)),
+            "hist_match_rate": hist_matches / seen,
+            "hist_mean_score": float(np.mean(hist_scores)),
             "n": seen,
         }
     return rates
