@@ -63,6 +63,19 @@ def export_transformer_state(params: Dict[str, Any]) -> Dict[str, Any]:
         for k in params
         if (m := re.match(r"layer_(\d+)$", k)) is not None
     )
+    if not layer_ids:
+        # a share_layer=True encoder stores one 'layer_shared' subtree;
+        # the S3PRL torch layout has no weight-tying representation, so
+        # exporting it silently would produce a layer-less checkpoint
+        raise ValueError(
+            "no layer_<i> subtrees to export"
+            + (
+                " (share_layer=True encoders are weight-tied and have no "
+                "S3PRL state-dict layout — untie before exporting)"
+                if "layer_shared" in params
+                else f"; got keys {sorted(params)}"
+            )
+        )
     for i in layer_ids:
         lp = params[f"layer_{i}"]
         pre = f"encoder.layer.{i}"

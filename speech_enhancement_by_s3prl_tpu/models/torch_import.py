@@ -58,6 +58,12 @@ def convert_transformer_state(sd: Dict[str, Any]) -> Dict[str, Any]:
             if (m := re.match(r"encoder\.layer\.(\d+)\.", k)) is not None
         }
     )
+    if not layer_ids:
+        raise ValueError(
+            "no 'encoder.layer.<i>.*' keys in the Transformer state dict — "
+            f"got {sorted(sd)[:8]}... (wrong payload section, or a "
+            "weight-tied layout this converter does not model)"
+        )
     for i in layer_ids:
         pre = f"encoder.layer.{i}"
         q = _dense(sd, f"{pre}.attention.self.query")

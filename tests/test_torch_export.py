@@ -120,3 +120,31 @@ def test_save_requires_config_sections(tmp_path):
             {"transformer": {}},  # missing 'online'
             encoder_params=up.params["encoder"],
         )
+
+
+def test_export_rejects_layerless_trees():
+    """A share_layer=True encoder stores one weight-tied 'layer_shared'
+    subtree; the S3PRL torch layout cannot represent tying, so exporting
+    must fail loudly instead of writing a layer-less checkpoint."""
+    up = _make_upstream()
+    enc = dict(up.params["encoder"])
+    shared = enc.pop("layer_0")
+    for k in [k for k in list(enc) if k.startswith("layer_")]:
+        enc.pop(k)
+    enc["layer_shared"] = shared
+    with pytest.raises(ValueError, match="share_layer"):
+        export_transformer_state(enc)
+    enc.pop("layer_shared")
+    with pytest.raises(ValueError, match="no layer_<i>"):
+        export_transformer_state(enc)
+
+
+def test_import_rejects_layerless_state_dict():
+    sd = {
+        "input_representations.spec_transform.weight": torch.zeros(4, 8),
+        "input_representations.spec_transform.bias": torch.zeros(4),
+        "input_representations.LayerNorm.weight": torch.ones(4),
+        "input_representations.LayerNorm.bias": torch.zeros(4),
+    }
+    with pytest.raises(ValueError, match="encoder.layer"):
+        convert_transformer_state(sd)
