@@ -23,6 +23,7 @@ TPU-native redesign:
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence
@@ -109,9 +110,23 @@ def _flatten(tree) -> jnp.ndarray:
     return jnp.concatenate([l.reshape(l.shape[0], -1) for l in leaves], axis=-1)
 
 
+def _capture_supported(model, layerid: Optional[int]) -> bool:
+    """The capture scorer needs a bidirectional-LSTM head whose stack can
+    be instrumented (models/lstm.py capture_layer) at ``layerid``."""
+    from ..models.heads import LSTM, Residual
+
+    return (
+        layerid is not None
+        and isinstance(model, (LSTM, Residual))
+        and bool(model.bidirectional)
+        and 0 <= layerid < model.num_layers
+    )
+
+
 def make_scoring_fn(
     step_builder,
     active_layerid: Optional[int] = None,
+    impl: Optional[str] = None,
 ) -> Callable:
     """Build ``scoring(params, wavs, lengths, mean=False, rng=None) ->
     (B|1, P)``.
@@ -125,8 +140,33 @@ def make_scoring_fn(
     dropout-bearing heads (Mockingjay) are scored with dropout active.
     ``rng`` seeds those dropout masks; omitted, a fixed key keeps the
     no-dropout flagship heads bit-deterministic.
+
+    ``impl`` selects the per-sample engine (default from ``SE_SCORE_IMPL``,
+    else 'vmap'):
+
+    - ``'vmap'``: per-sample grads via ``jax.vmap(jax.grad(...))`` —
+      bit-parity with grad-then-filter (the reference's per-utterance
+      backward loop, /root/reference/sampler.py:89-106).
+    - ``'capture'``: ONE batched backward; the per-sample layer grads are
+      reconstructed from the captured gate cotangents as outer-product
+      einsums (g_Wih = sum_t x_t (x) d_t etc. — models/lstm.py
+      capture_layer). Mathematically the same embedding up to a POSITIVE
+      per-sample scale (the objective's batch reduction weights), which
+      cancels in the cosine matching the scores feed
+      (/root/reference/sampler.py:113-116); match scores are preserved.
+      Runs the recurrence fully batched, so it composes with the Pallas
+      kernel (``SE_PALLAS_LSTM=1``) which ``vmap(grad)`` cannot use.
+      Requires a bidirectional LSTM/Residual head and an
+      ``active_layerid``; silently falls back to 'vmap' otherwise. For
+      dropout-bearing heads the mask stream differs (one batch-wide mask
+      vs per-sample keys) — both are valid train-mode scorings.
     """
     sb = step_builder
+    if impl is None:
+        impl = os.environ.get("SE_SCORE_IMPL", "vmap")
+    assert impl in ("vmap", "capture"), f"unknown scoring impl {impl!r}"
+    if impl == "capture" and not _capture_supported(sb.model, active_layerid):
+        impl = "vmap"
 
     def batch_loss(params, wavs, lengths, rng):
         from ..runner.trainer import make_context
@@ -170,10 +210,78 @@ def make_scoring_fn(
         )
         return _flatten(g)
 
+    model_cap = (
+        sb.model.clone(capture_layer=active_layerid) if impl == "capture"
+        else None
+    )
+
+    @jax.jit
+    def scoring_per_sample_capture(params, wavs, lengths, rng):
+        from ..runner.trainer import make_context
+
+        _checked_split(params)  # same loud failure on a bad layerid
+        ctx = make_context(sb.preprocessor, wavs, lengths, sb.channel_inp,
+                           sb.channel_tar)
+        rngs = {"dropout": rng}
+        down_inp = sb._down_inp(ctx, None, train=True, rngs=rngs)
+        kwargs = {"deterministic": False, "rngs": rngs}
+
+        # perturbation structure (zeros) without running the forward
+        pert0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(
+                lambda: model_cap.apply(
+                    params, features=down_inp, linears=ctx["linear_inp"],
+                    mutable=["perturbations", "intermediates"], **kwargs,
+                )
+            )[1]["perturbations"],
+        )
+
+        def loss_p(pert):
+            (predicted, aux), mut = model_cap.apply(
+                {**params, "perturbations": pert},
+                features=down_inp, linears=ctx["linear_inp"],
+                mutable=["intermediates"], **kwargs,
+            )
+            full_ctx = {**ctx, "predicted": predicted, **aux}
+            loss, _ = sb.objective(**full_ctx)
+            return loss, mut["intermediates"]["lstm"]
+
+        (_, inter), delta = jax.value_and_grad(loss_p, has_aux=True)(pert0)
+        lk = f"l{active_layerid}"
+        xs = inter[f"{lk}_xs"][0]                       # (2, B, T, D)
+        hs = inter[f"{lk}_hs"][0]                       # (2, B, T, H)
+        d = delta["lstm"][f"{lk}_xw"].astype(jnp.float32)  # (2, B, T, 4H)
+        h_prev = jnp.concatenate(
+            [jnp.zeros_like(hs[:, :, :1]), hs[:, :, :-1]], axis=2
+        )
+        # torch layout: w_ih (4H, D), w_hh (4H, H); per-sample grads are
+        # Sum_t d_t (x) x_t / h_{t-1}, biases both Sum_t d_t (gates are
+        # xw + b_ih + b_hh + h W_hh^T, all additive)
+        g_wih = jnp.einsum("dbtg,dbtn->dbgn", d, xs)
+        g_whh = jnp.einsum("dbtg,dbtk->dbgk", d, h_prev)
+        g_b = d.sum(axis=2)                             # (2, B, 4H)
+        B = wavs.shape[0]
+        fl = lambda x: x.reshape(2, B, -1)              # noqa: E731
+        # coordinate order matches _flatten(_select_layer(...)):
+        # alphabetical tree leaves — l{k}_bwd{b_ih,b_hh,w_hh,w_ih} then
+        # l{k}_fwd{...}; direction index 1 is the time-flipped (bwd) one
+        return jnp.concatenate(
+            [
+                g_b[1], g_b[1], fl(g_whh)[1], fl(g_wih)[1],
+                g_b[0], g_b[0], fl(g_whh)[0], fl(g_wih)[0],
+            ],
+            axis=-1,
+        )
+
+    per_sample = (
+        scoring_per_sample_capture if impl == "capture" else scoring_per_sample
+    )
+
     def scoring(params, wavs, lengths, mean: bool = False, rng=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        fn = scoring_mean if mean else scoring_per_sample
+        fn = scoring_mean if mean else per_sample
         return fn(params, jnp.asarray(wavs), jnp.asarray(lengths), rng)
 
     return scoring

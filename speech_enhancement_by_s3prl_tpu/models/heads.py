@@ -121,12 +121,16 @@ class LSTM(nn.Module):
     activation: str = "Identity"
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    # instruments LSTM layer k for the capture scorer (active/sampler.py);
+    # None (default) is byte-identical to the uninstrumented model
+    capture_layer: Optional[int] = None
 
     @nn.compact
     def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
         hs = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            capture_layer=self.capture_layer,
             name="lstm",
         )(features)
         out_in = max(1, 2 * int(self.bidirectional)) * self.hidden_size
@@ -155,12 +159,14 @@ class Residual(nn.Module):
     eps: float = 1e-6
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    capture_layer: Optional[int] = None
 
     @nn.compact
     def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
         offset = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            capture_layer=self.capture_layer,
             name="lstm",
         )(features)
         if self.cmvn:

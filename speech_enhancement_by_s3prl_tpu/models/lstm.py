@@ -25,7 +25,7 @@ W_ih, orthogonal for W_hh, zeros for biases.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +176,14 @@ class LSTMStack(nn.Module):
     # projection activations from the residual set (recomputed in the
     # backward pass), roughly halving training memory per layer
     remat: bool = os.environ.get("SE_LSTM_REMAT", "0") == "1"
+    # instrument layer k for the active-learning capture scorer
+    # (active/sampler.py): sows the direction-stacked layer input and
+    # hidden streams into 'intermediates' and routes the input projection
+    # through a zero perturbation in 'perturbations', whose cotangent
+    # under one batched backward is the per-sample, per-step gate
+    # cotangent. None (default) leaves every path untouched — perturb/sow
+    # are not even called, so normal init never creates the collections.
+    capture_layer: Optional[int] = None
 
     def _interpret(self) -> bool:
         # Mosaic kernels only lower for TPU; on CPU (tests, --cpu CLI
@@ -187,6 +195,12 @@ class LSTMStack(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dt = self.compute_dtype
         H = self.hidden_size
+        if self.capture_layer is not None and not self.bidirectional:
+            raise ValueError(
+                "capture_layer instrumentation is implemented for the fused "
+                "bidirectional layers only (the reference's active configs "
+                "score a bidirectional downstream)"
+            )
         for layer in range(self.num_layers):
             if not self.bidirectional:
                 x = LstmCellScan(
@@ -199,7 +213,9 @@ class LSTMStack(nn.Module):
             pf = LstmDirParams(H, x.shape[-1], name=f"l{layer}_fwd")()
             pb = LstmDirParams(H, x.shape[-1], name=f"l{layer}_bwd")()
 
-            if self.use_pallas and os.environ.get("SE_PALLAS_FUSED", "0") == "1":
+            if (self.use_pallas
+                    and os.environ.get("SE_PALLAS_FUSED", "0") == "1"
+                    and self.capture_layer != layer):
                 from ..ops.pallas.lstm_kernel import lstm_bidir_pallas_fused
 
                 xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)
@@ -216,7 +232,9 @@ class LSTMStack(nn.Module):
                 x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
                 continue
 
-            def bidir_layer(x_in, pf=pf, pb=pb):
+            capture = self.capture_layer == layer
+
+            def bidir_layer(x_in, pf=pf, pb=pb, capture=capture, layer=layer):
                 xs = jnp.stack([x_in, jnp.flip(x_in, axis=1)], axis=0)
                 w_ih = jnp.stack([pf["w_ih"], pb["w_ih"]], axis=0)
                 bias = jnp.stack(
@@ -228,6 +246,14 @@ class LSTMStack(nn.Module):
                                preferred_element_type=jnp.float32)
                     + bias
                 )
+                if capture:
+                    # per-sample gradient capture (active/sampler.py): the
+                    # cotangent of this zero perturbation is the per-step
+                    # gate cotangent d_t; with the sowed xs/hs streams the
+                    # per-sample layer grads are outer-product einsums —
+                    # one batched backward replaces vmap(grad)
+                    self.sow("intermediates", f"l{layer}_xs", xs)
+                    xw = self.perturb(f"l{layer}_xw", xw)
                 w_hh_t = jnp.stack(
                     [pf["w_hh"].T, pb["w_hh"].T], axis=0
                 ).astype(dt)  # (2, H, 4H)
@@ -263,9 +289,15 @@ class LSTMStack(nn.Module):
                         )
                 else:
                     hs = _lstm_scan(xw, w_hh_t, H, self.unroll, dt)
+                if capture:
+                    # internal orientation (direction 1 time-flipped),
+                    # consistent with the perturbation's cotangent
+                    self.sow("intermediates", f"l{layer}_hs", hs)
                 return jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
 
-            if self.remat:
+            # flax state effects (sow/perturb) cannot live inside a plain
+            # jax.checkpoint closure — the captured layer skips remat
+            if self.remat and not capture:
                 bidir_layer = jax.checkpoint(bidir_layer)
             x = bidir_layer(x)
         return x
