@@ -75,11 +75,15 @@ ALL_MODES = [
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
                     "SE_PRNG": "rbg", "SE_ATTN_DROPOUT_CHUNK": "256"}),
-    # bf16 compute for the fwd/bwd under vmap(grad): embeddings stay f32
-    # (grads of f32 params), per-sample cosine vs f32 >= 0.99998 and
-    # match-rank order identical on the real chip (docs/PERF.md).
-    ("score", {"BENCH_MODE": "score", "SE_PALLAS_LSTM": "0",
-               "BENCH_DTYPE": "bf16"}),
+    # capture engine (one batched backward + outer-product einsums,
+    # active/sampler.py impl='capture') instead of vmap(grad): runs the
+    # recurrence batched so the differentiable Pallas kernel applies —
+    # 2,358 utts/s vs 569 for vmap+scan (+314%). Embedding cosine vs
+    # vmap+scan >= 0.999998 at the flagship shape on the real chip;
+    # match rank order and thresholding identical (docs/PERF.md).
+    ("score", {"BENCH_MODE": "score", "SE_SCORE_IMPL": "capture",
+               "SE_PALLAS_LSTM": "1", "SE_PALLAS_VJP_BF16": "1",
+               "SE_PALLAS_HS_BF16": "1", "BENCH_DTYPE": "bf16"}),
     ("loader", {"BENCH_MODE": "loader"}),
     # single-request serving latency (B=1), the serve.py fast path
     ("latency", {"BENCH_MODE": "latency", "SE_PALLAS_LSTM": "1",
@@ -272,6 +276,8 @@ def main():
     # the scan-unroll sweet spot is per-PROGRAM: 4 wins for enhance/train,
     # but the sampler's vmap(grad) scoring program measures best at 8
     # (docs/PERF.md score section). Must be set before package import too.
+    # (Irrelevant under the capture+kernel scoreboard default — kept for
+    # the SE_SCORE_IMPL=vmap scan fallback.)
     if os.environ.get("BENCH_MODE") == "score":
         os.environ.setdefault("SE_LSTM_UNROLL", "8")
 
@@ -311,7 +317,7 @@ def main():
     # train peaks at 128 (144/160/256-remat all lose); upstream at 512
     default_batch = {
         "enhance": "768", "eval": "768", "train": "128", "upstream": "512",
-        "mockingjay": "32", "score": "128",
+        "mockingjay": "32", "score": "256",
     }.get(mode, "768")
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     # generate inputs ON DEVICE: the axon dev tunnel's host<->device path is
@@ -548,9 +554,12 @@ def main():
         return
 
     if os.environ.get("BENCH_MODE", "enhance") == "score":
-        # active-learning per-sample gradient embeddings: ONE vmap(grad)
-        # program vs the reference's per-utterance backward loop
-        # (/root/reference/sampler.py:89-106)
+        # active-learning per-sample gradient embeddings vs the
+        # reference's per-utterance backward loop
+        # (/root/reference/sampler.py:89-106). Engine from SE_SCORE_IMPL:
+        # the scoreboard default is 'capture' (one batched backward +
+        # outer-product einsums, composes with the Pallas kernel);
+        # 'vmap' is the vmap(grad) reference path.
         from speech_enhancement_by_s3prl_tpu.active.sampler import (
             make_scoring_fn,
         )
