@@ -268,7 +268,7 @@ def measure_enrichment(workdir, args, cfg_path, dckpt, n2c, n2n, domains):
     finally:
         sys.argv = old
 
-    scoring = make_scoring_fn(runner.builder)
+    scoring = make_scoring_fn(runner.builder, args.active_layerid)
     queryset = runner.get_dataset("query")
     qloader = runner.get_dataloader(queryset, bsz=args.query_num)
     q_len, q_wavs, _ = next(iter(qloader))
@@ -337,6 +337,12 @@ def main(argv=None):
     ap.add_argument("--max_time", type=int, default=2000)
     ap.add_argument("--snrs", type=float, nargs="+", default=[-4, 0, 4])
     ap.add_argument("--enrich_batches", type=int, default=3)
+    ap.add_argument(
+        "--active_layerid", type=int, default=None,
+        help="restrict gradient embeddings to LSTM layer k (the CLI's "
+        "--active_layerid; None scores the whole tree like the reference "
+        "default). Required for the SE_SCORE_IMPL=capture engine.",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -443,8 +449,12 @@ def main(argv=None):
         "--dev_num", "2", "--record_num", "4", "--n_jobs", "1",
     ] + (["--cpu"] if args.cpu else [])
     results = {"config": vars(args)}
+    layerid_flag = (
+        ["--active_layerid", str(args.active_layerid)]
+        if args.active_layerid is not None else []
+    )
     for mode, extra in [
-        ("active", ["--active_sampling", "--sync_sampler"]),
+        ("active", ["--active_sampling", "--sync_sampler"] + layerid_flag),
         ("uniform", []),
     ]:
         expdir = os.path.join(wd, "adapt", mode)
