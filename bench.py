@@ -567,7 +567,11 @@ def main():
         builder = graft._build()
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
-        scoring = make_scoring_fn(builder, active_layerid=0)
+        # BENCH_SCORE_LAYERID: LSTM layer to embed (default 0, the
+        # reference's usual pressure valve); 'none' scores the whole tree
+        lid_env = os.environ.get("BENCH_SCORE_LAYERID", "0")
+        layerid = None if lid_env.lower() in ("none", "") else int(lid_env)
+        scoring = make_scoring_fn(builder, active_layerid=layerid)
         g = scoring(state.params, wavs, lengths)
         float(jnp.asarray(g).sum())  # compile + warmup
         # single end-of-run sync (see train mode: ~35 ms RTT per fetch)

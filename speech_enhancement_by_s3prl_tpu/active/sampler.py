@@ -112,15 +112,15 @@ def _flatten(tree) -> jnp.ndarray:
 
 def _capture_supported(model, layerid: Optional[int]) -> bool:
     """The capture scorer needs a bidirectional-LSTM head whose stack can
-    be instrumented (models/lstm.py capture_layer) at ``layerid``."""
+    be instrumented (models/lstm.py capture_layer): one layer for an
+    explicit ``layerid``, or the whole head (every LSTM layer + the
+    scaling Dense) for ``layerid=None`` — the reference's default
+    whole-tree embedding."""
     from ..models.heads import LSTM, Residual
 
-    return (
-        layerid is not None
-        and isinstance(model, (LSTM, Residual))
-        and bool(model.bidirectional)
-        and 0 <= layerid < model.num_layers
-    )
+    if not (isinstance(model, (LSTM, Residual)) and bool(model.bidirectional)):
+        return False
+    return layerid is None or 0 <= layerid < model.num_layers
 
 
 def make_scoring_fn(
@@ -156,8 +156,10 @@ def make_scoring_fn(
       (/root/reference/sampler.py:113-116); match scores are preserved.
       Runs the recurrence fully batched, so it composes with the Pallas
       kernel (``SE_PALLAS_LSTM=1``) which ``vmap(grad)`` cannot use.
-      Requires a bidirectional LSTM/Residual head and an
-      ``active_layerid``; silently falls back to 'vmap' otherwise. For
+      Requires a bidirectional LSTM/Residual head; covers both a single
+      ``active_layerid`` and the whole-tree default (``layerid=None``
+      instruments every LSTM layer + the scaling Dense); silently falls
+      back to 'vmap' for other heads. For
       dropout-bearing heads the mask stream differs (one batch-wide mask
       vs per-sample keys) — both are valid train-mode scorings.
     """
@@ -211,15 +213,40 @@ def make_scoring_fn(
         return _flatten(g)
 
     model_cap = (
-        sb.model.clone(capture_layer=active_layerid) if impl == "capture"
-        else None
+        sb.model.clone(
+            capture_layer="all" if active_layerid is None else active_layerid
+        )
+        if impl == "capture" else None
     )
+
+    def _lstm_layer_grads(inter, delta, layer):
+        """Per-sample grads of one bidirectional layer from its captured
+        streams, shaped like the param leaves with a leading batch dim."""
+        xs = inter[f"l{layer}_xs"][0]                      # (2, B, T, D)
+        hs = inter[f"l{layer}_hs"][0]                      # (2, B, T, H)
+        d = delta[f"l{layer}_xw"].astype(jnp.float32)      # (2, B, T, 4H)
+        h_prev = jnp.concatenate(
+            [jnp.zeros_like(hs[:, :, :1]), hs[:, :, :-1]], axis=2
+        )
+        # torch layout: w_ih (4H, D), w_hh (4H, H); per-sample grads are
+        # Sum_t d_t (x) x_t / h_{t-1}, biases both Sum_t d_t (gates are
+        # xw + b_ih + b_hh + h W_hh^T, all additive). Direction index 1
+        # is the time-flipped (bwd) one.
+        g_wih = jnp.einsum("dbtg,dbtn->dbgn", d, xs)
+        g_whh = jnp.einsum("dbtg,dbtk->dbgk", d, h_prev)
+        g_b = d.sum(axis=2)                                # (2, B, 4H)
+        return {
+            f"l{layer}_fwd": {"b_ih": g_b[0], "b_hh": g_b[0],
+                              "w_hh": g_whh[0], "w_ih": g_wih[0]},
+            f"l{layer}_bwd": {"b_ih": g_b[1], "b_hh": g_b[1],
+                              "w_hh": g_whh[1], "w_ih": g_wih[1]},
+        }
 
     @jax.jit
     def scoring_per_sample_capture(params, wavs, lengths, rng):
         from ..runner.trainer import make_context
 
-        _checked_split(params)  # same loud failure on a bad layerid
+        sel, _ = _checked_split(params)  # also fails loudly on bad layerid
         ctx = make_context(sb.preprocessor, wavs, lengths, sb.channel_inp,
                            sb.channel_tar)
         rngs = {"dropout": rng}
@@ -245,34 +272,40 @@ def make_scoring_fn(
             )
             full_ctx = {**ctx, "predicted": predicted, **aux}
             loss, _ = sb.objective(**full_ctx)
-            return loss, mut["intermediates"]["lstm"]
+            return loss, mut["intermediates"]
 
         (_, inter), delta = jax.value_and_grad(loss_p, has_aux=True)(pert0)
-        lk = f"l{active_layerid}"
-        xs = inter[f"{lk}_xs"][0]                       # (2, B, T, D)
-        hs = inter[f"{lk}_hs"][0]                       # (2, B, T, H)
-        d = delta["lstm"][f"{lk}_xw"].astype(jnp.float32)  # (2, B, T, 4H)
-        h_prev = jnp.concatenate(
-            [jnp.zeros_like(hs[:, :, :1]), hs[:, :, :-1]], axis=2
+
+        layers = (
+            range(sb.model.num_layers) if active_layerid is None
+            else [active_layerid]
         )
-        # torch layout: w_ih (4H, D), w_hh (4H, H); per-sample grads are
-        # Sum_t d_t (x) x_t / h_{t-1}, biases both Sum_t d_t (gates are
-        # xw + b_ih + b_hh + h W_hh^T, all additive)
-        g_wih = jnp.einsum("dbtg,dbtn->dbgn", d, xs)
-        g_whh = jnp.einsum("dbtg,dbtk->dbgk", d, h_prev)
-        g_b = d.sum(axis=2)                             # (2, B, 4H)
-        B = wavs.shape[0]
-        fl = lambda x: x.reshape(2, B, -1)              # noqa: E731
-        # coordinate order matches _flatten(_select_layer(...)):
-        # alphabetical tree leaves — l{k}_bwd{b_ih,b_hh,w_hh,w_ih} then
-        # l{k}_fwd{...}; direction index 1 is the time-flipped (bwd) one
-        return jnp.concatenate(
-            [
-                g_b[1], g_b[1], fl(g_whh)[1], fl(g_wih)[1],
-                g_b[0], g_b[0], fl(g_whh)[0], fl(g_wih)[0],
-            ],
-            axis=-1,
-        )
+        g_lstm = {}
+        for l in layers:
+            g_lstm.update(_lstm_layer_grads(inter["lstm"], delta["lstm"], l))
+        tree = {"lstm": g_lstm}
+        if active_layerid is None:
+            # scaling Dense: flax kernel is (in, out); per-sample grads
+            # from the sowed input and the output cotangent
+            xs = inter["scaling_xs"][0]                    # (B, T, D)
+            d = delta["scaling_xw"].astype(jnp.float32)    # (B, T, O)
+            tree["scaling_layer"] = {
+                "bias": d.sum(axis=1),
+                "kernel": jnp.einsum("btd,bto->bdo", xs, d),
+            }
+        g_tree = {"params": tree} if "params" in params else tree
+        # the assembled tree must mirror the differentiated subtree key
+        # for key — catches silent drift if a head grows parameters the
+        # capture assembly does not know about
+        want = jax.tree.structure(sel)
+        have = jax.tree.structure(g_tree)
+        if want != have:
+            raise ValueError(
+                f"capture scorer assembled {have} but the selected "
+                f"parameter subtree is {want} — capture instrumentation "
+                "does not cover this head; use SE_SCORE_IMPL=vmap"
+            )
+        return _flatten(g_tree)
 
     per_sample = (
         scoring_per_sample_capture if impl == "capture" else scoring_per_sample

@@ -121,9 +121,11 @@ class LSTM(nn.Module):
     activation: str = "Identity"
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
-    # instruments LSTM layer k for the capture scorer (active/sampler.py);
-    # None (default) is byte-identical to the uninstrumented model
-    capture_layer: Optional[int] = None
+    # instruments LSTM layer k — or the whole head with 'all' (every LSTM
+    # layer + the scaling Dense) — for the capture scorer
+    # (active/sampler.py); None (default) is byte-identical to the
+    # uninstrumented model
+    capture_layer: Any = None  # None | int | 'all'
 
     @nn.compact
     def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
@@ -141,6 +143,11 @@ class LSTM(nn.Module):
             name="scaling_layer",
         )(hs)
         del out_in
+        if self.capture_layer == "all":
+            # per-sample grads of the scaling Dense: kernel = x (x) d,
+            # bias = sum_t d — from the sowed input and this cotangent
+            self.sow("intermediates", "scaling_xs", hs)
+            log_predicted = self.perturb("scaling_xw", log_predicted)
         log_predicted = activation(self.activation)(log_predicted)
         return jnp.exp(log_predicted), {"log_predicted": log_predicted}
 
@@ -159,7 +166,7 @@ class Residual(nn.Module):
     eps: float = 1e-6
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
-    capture_layer: Optional[int] = None
+    capture_layer: Any = None  # None | int | 'all'
 
     @nn.compact
     def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
@@ -171,12 +178,16 @@ class Residual(nn.Module):
         )(features)
         if self.cmvn:
             offset = cmvn_t(offset, self.eps)
+        dense_in = offset
         offset = nn.Dense(
             self.output_size,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             name="scaling_layer",
-        )(offset)
+        )(dense_in)
+        if self.capture_layer == "all":
+            self.sow("intermediates", "scaling_xs", dense_in)
+            offset = self.perturb("scaling_xw", offset)
         offset = activation(self.activation)(offset)
         return linears * offset, {"offset": offset}
 

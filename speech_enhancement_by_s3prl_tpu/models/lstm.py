@@ -176,14 +176,18 @@ class LSTMStack(nn.Module):
     # projection activations from the residual set (recomputed in the
     # backward pass), roughly halving training memory per layer
     remat: bool = os.environ.get("SE_LSTM_REMAT", "0") == "1"
-    # instrument layer k for the active-learning capture scorer
-    # (active/sampler.py): sows the direction-stacked layer input and
-    # hidden streams into 'intermediates' and routes the input projection
-    # through a zero perturbation in 'perturbations', whose cotangent
-    # under one batched backward is the per-sample, per-step gate
-    # cotangent. None (default) leaves every path untouched — perturb/sow
-    # are not even called, so normal init never creates the collections.
-    capture_layer: Optional[int] = None
+    # instrument layer k (or every layer, 'all') for the active-learning
+    # capture scorer (active/sampler.py): sows the direction-stacked layer
+    # input and hidden streams into 'intermediates' and routes the input
+    # projection through a zero perturbation in 'perturbations', whose
+    # cotangent under one batched backward is the per-sample, per-step
+    # gate cotangent. None (default) leaves every path untouched —
+    # perturb/sow are not even called, so normal init never creates the
+    # collections.
+    capture_layer: Any = None  # None | int | 'all'
+
+    def _captured(self, layer: int) -> bool:
+        return self.capture_layer == layer or self.capture_layer == "all"
 
     def _interpret(self) -> bool:
         # Mosaic kernels only lower for TPU; on CPU (tests, --cpu CLI
@@ -215,7 +219,7 @@ class LSTMStack(nn.Module):
 
             if (self.use_pallas
                     and os.environ.get("SE_PALLAS_FUSED", "0") == "1"
-                    and self.capture_layer != layer):
+                    and not self._captured(layer)):
                 from ..ops.pallas.lstm_kernel import lstm_bidir_pallas_fused
 
                 xs = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)
@@ -232,7 +236,7 @@ class LSTMStack(nn.Module):
                 x = jnp.concatenate([hs[0], jnp.flip(hs[1], axis=1)], axis=-1)
                 continue
 
-            capture = self.capture_layer == layer
+            capture = self._captured(layer)
 
             def bidir_layer(x_in, pf=pf, pb=pb, capture=capture, layer=layer):
                 xs = jnp.stack([x_in, jnp.flip(x_in, axis=1)], axis=0)

@@ -54,9 +54,11 @@ def batch():
     return wavs, lengths
 
 
-@pytest.mark.parametrize("layerid", [0, 1])
+@pytest.mark.parametrize("layerid", [0, 1, None])
 @pytest.mark.parametrize("objective", ["L1", "SISDR"])
 def test_capture_matches_vmap_up_to_sample_scale(objective, layerid):
+    # layerid=None exercises the whole-tree path (every LSTM layer + the
+    # scaling Dense instrumented), the reference's default embedding
     sb = small_builder(objective)
     wavs, lengths = batch()
     state = sb.init_state(jax.random.PRNGKey(0), wavs, lengths)
@@ -118,18 +120,7 @@ def test_capture_composes_with_pallas_kernel(monkeypatch):
 
 
 def test_capture_falls_back_when_unsupported():
-    # no layerid -> whole-tree embeddings, capture not applicable
-    sb = small_builder()
     wavs, lengths = batch()
-    state = sb.init_state(jax.random.PRNGKey(0), wavs, lengths)
-    f = make_scoring_fn(sb, None, impl="capture")  # falls back to vmap
-    ref = make_scoring_fn(sb, None, impl="vmap")
-    np.testing.assert_allclose(
-        np.asarray(f(state.params, wavs, lengths)),
-        np.asarray(ref(state.params, wavs, lengths)),
-        atol=0,
-    )
-
     # unidirectional heads are unsupported -> fallback, still bit-equal
     sb_u = small_builder(bidirectional=False)
     state_u = sb_u.init_state(jax.random.PRNGKey(0), wavs, lengths)
