@@ -341,7 +341,7 @@ def main(argv=None):
         "--active_layerid", type=int, default=None,
         help="restrict gradient embeddings to LSTM layer k (the CLI's "
         "--active_layerid; None scores the whole tree like the reference "
-        "default). Required for the SE_SCORE_IMPL=capture engine.",
+        "default — both work with the SE_SCORE_IMPL=capture engine).",
     )
     args = ap.parse_args(argv)
 

@@ -166,8 +166,18 @@ def make_scoring_fn(
     sb = step_builder
     if impl is None:
         impl = os.environ.get("SE_SCORE_IMPL", "vmap")
-    assert impl in ("vmap", "capture"), f"unknown scoring impl {impl!r}"
+    if impl not in ("vmap", "capture"):
+        raise ValueError(f"unknown scoring impl {impl!r}")
     if impl == "capture" and not _capture_supported(sb.model, active_layerid):
+        import warnings
+
+        warnings.warn(
+            f"SE_SCORE_IMPL=capture is not supported for "
+            f"{type(sb.model).__name__} (needs a bidirectional LSTM/"
+            f"Residual head; layerid={active_layerid!r}) — falling back "
+            "to the vmap engine",
+            stacklevel=2,
+        )
         impl = "vmap"
 
     def batch_loss(params, wavs, lengths, rng):
