@@ -76,6 +76,13 @@ def get_downstream_args():
     parser.add_argument("--expdir", default="result")
     parser.add_argument("--seed", default=1337, type=int)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--compute_dtype", default="f32", choices=["f32", "bf16"],
+        help="matmul/activation compute dtype for the upstream and the "
+        "downstream head (losses, metrics, layer norms and optimizer "
+        "state stay f32). bf16 is the measured TPU throughput "
+        "configuration (docs/PERF.md); f32 keeps reference numerics",
+    )
     parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--eval_init", action="store_true")
     parser.add_argument("--no_metric", action="store_true")
@@ -291,11 +298,15 @@ def main():
         args, config
     )
 
+    # resume snapshots from before the flag default to f32
+    compute_dtype = getattr(args, "compute_dtype", "f32")
     upstream_model = build_upstream(
-        args.upstream, upstream_dim, args.ckpt, args.dropout, tar_linear_dim
+        args.upstream, upstream_dim, args.ckpt, args.dropout, tar_linear_dim,
+        compute_dtype=compute_dtype,
     )
     upstream_model2 = build_upstream(
-        args.upstream2, upstream_dim, args.ckpt2, args.dropout2, tar_linear_dim
+        args.upstream2, upstream_dim, args.ckpt2, args.dropout2, tar_linear_dim,
+        compute_dtype=compute_dtype,
     )
 
     if args.from_waveform:

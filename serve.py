@@ -270,8 +270,10 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
             build_upstream,
         )
 
-        upstream = build_upstream(up_name, dims[0], up_ckpt,
-                                  payload=up_payload)
+        upstream = build_upstream(
+            up_name, dims[0], up_ckpt, payload=up_payload,
+            compute_dtype=paras.get("compute_dtype", "f32"),
+        )
         in_size = getattr(upstream, "out_dim", dims[0])
         if upstream.params:
             params = {

@@ -42,6 +42,30 @@ def activation(name: str) -> Callable:
     return ACTIVATIONS[name]
 
 
+DTYPE_ALIASES = {
+    "f32": jnp.float32, "float32": jnp.float32, "fp32": jnp.float32,
+    "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+}
+
+
+def normalize_compute_dtype(value):
+    """CLI/YAML dtype vocabulary ('f32' | 'bf16') -> jnp dtype.
+
+    The CLI's ``--compute_dtype`` travels as a string through the args
+    namespace (and into checkpoint ``Settings.Paras``, so serving
+    surfaces rebuild with the training dtype); module fields want the
+    jnp dtype. Dtype-like values pass through untouched."""
+    if isinstance(value, str):
+        try:
+            return DTYPE_ALIASES[value.lower()]
+        except KeyError:
+            raise ValueError(
+                f"unknown compute_dtype {value!r}; use one of "
+                f"{sorted(DTYPE_ALIASES)}"
+            )
+    return value
+
+
 def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     """torch nn.Linear default: kaiming-uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)).
     flax kernels are (in, out); fan_in = shape[0]."""
@@ -249,6 +273,10 @@ def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.
     fields = {f.name for f in cls.__dataclass_fields__.values()}
     fields -= {"name", "parent"}
     kwargs = {k: v for k, v in cfg.items() if k in fields}
+    if "compute_dtype" in kwargs:
+        kwargs["compute_dtype"] = normalize_compute_dtype(
+            kwargs["compute_dtype"]
+        )
     if "input_size" in fields:
         kwargs["input_size"] = input_size
     if "output_size" in fields:

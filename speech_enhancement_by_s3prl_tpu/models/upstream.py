@@ -184,12 +184,21 @@ def build_upstream(
     output_size: int = 201,
     seed: int = 0,
     payload=None,
+    compute_dtype=None,
 ):
     """Factory mirroring ``get_upstream_model``
     (/root/reference/run_downstream.py:167-192): 'transformer' loads/creates
     the encoder (+SpecHead), 'baseline' is the identity. ``payload`` is an
     already-torch.load'ed checkpoint dict for ``ckpt`` — callers that read
-    the checkpoint's config first pass it to skip a second disk load."""
+    the checkpoint's config first pass it to skip a second disk load.
+    ``compute_dtype`` accepts the CLI vocabulary ('f32' | 'bf16') or a jnp
+    dtype; None keeps f32 (LN/accumulation stay f32 either way)."""
+    from .heads import normalize_compute_dtype
+
+    dt = (
+        jnp.float32 if compute_dtype is None
+        else normalize_compute_dtype(compute_dtype)
+    )
     if upstream == "baseline":
         return DummyUpstream(input_dim)
     assert upstream == "transformer", f"unknown upstream {upstream}"
@@ -206,9 +215,10 @@ def build_upstream(
             output_size=loaded.output_size,
             params=loaded.params,
             log_domain=loaded.log_domain,
+            compute_dtype=dt,
         )
     config = TransformerConfig(input_dim=input_dim)
     return UpstreamTransformer(
         config, input_dim=input_dim, options=UpstreamOptions(dropout=dropout),
-        output_size=output_size, seed=seed,
+        output_size=output_size, seed=seed, compute_dtype=dt,
     )

@@ -71,3 +71,40 @@ def test_resume_restores_args_and_config(tmp_path, monkeypatch):
     assert args.name == "orig"
     assert config["runner"]["total_step"] == 77
     assert args.resume.endswith("states-7.ckpt")
+
+
+def test_compute_dtype_flag_reaches_modules(tmp_path, monkeypatch):
+    """--compute_dtype travels the args namespace as a string and lands on
+    the head/upstream modules as a jnp dtype (heads.normalize_compute_dtype);
+    the default keeps reference f32."""
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.models.heads import (
+        build_head,
+        normalize_compute_dtype,
+    )
+    from speech_enhancement_by_s3prl_tpu.models.upstream import build_upstream
+
+    assert normalize_compute_dtype("bf16") == jnp.bfloat16
+    assert normalize_compute_dtype("f32") == jnp.float32
+    assert normalize_compute_dtype(jnp.bfloat16) == jnp.bfloat16
+    with pytest.raises(ValueError, match="compute_dtype"):
+        normalize_compute_dtype("fp8")
+
+    cfg = write_cfg(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "run_downstream.py", "--name", "t", "--config", cfg,
+        "--upstream", "baseline", "--upstream2", "baseline",
+        "--from_rawfeature", "--downstream", "LSTM", "--objective", "L1",
+        "--expdir", str(tmp_path), "--compute_dtype", "bf16", "--cpu",
+    ])
+    args, config = rd.get_downstream_args()
+    assert args.compute_dtype == "bf16"
+    head = rd.get_downstream_model(args, 201, 201, config)
+    assert head.compute_dtype == jnp.bfloat16
+
+    up = build_upstream("transformer", 201, compute_dtype="bf16")
+    assert up.encoder.compute_dtype == jnp.bfloat16
+    # default stays f32 (reference numerics)
+    head_default = build_head("LSTM", 201, 201, hidden_size=4, num_layers=1)
+    assert head_default.compute_dtype == jnp.float32
