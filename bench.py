@@ -572,12 +572,37 @@ def main():
         lid_env = os.environ.get("BENCH_SCORE_LAYERID", "0")
         layerid = None if lid_env.lower() in ("none", "") else int(lid_env)
         scoring = make_scoring_fn(builder, active_layerid=layerid)
-        g = scoring(state.params, wavs, lengths)
-        float(jnp.asarray(g).sum())  # compile + warmup
+        # route the per-sample program through the AOT executable cache:
+        # under SE_PALLAS_LSTM=1 it contains Mosaic custom-calls the
+        # persistent HLO cache skips (same treatment as train/enhance)
+        from speech_enhancement_by_s3prl_tpu.models.lstm import (
+            DEFAULT_UNROLL,
+        )
+        from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+            compile_cached,
+        )
+
+        env_key = ",".join(
+            f"{k}={os.environ.get(k, '')}"
+            for k in (
+                "BENCH_DTYPE", "SE_PALLAS_LSTM", "SE_LSTM_XW_BF16",
+                "SE_PALLAS_TM", "SE_PALLAS_HS_BF16", "SE_PALLAS_VJP_BF16",
+                "SE_SCORE_IMPL",
+            )
+        ) + f",unroll={DEFAULT_UNROLL},layerid={layerid}"
+        key0 = jax.random.PRNGKey(0)
+        fn = compile_cached(
+            scoring.raw_per_sample, state.params, wavs, lengths, key0,
+            fn_key=f"score_{scoring.impl}_{env_key}",
+        )
+        if fn is None:  # AOT unsupported on this runtime
+            fn = lambda p, w, l, k: scoring(p, w, l, rng=k)  # noqa: E731
+        g = fn(state.params, wavs, lengths, key0)
+        float(jnp.asarray(g).sum())  # warmup
         # single end-of-run sync (see train mode: ~35 ms RTT per fetch)
         t0 = time.perf_counter()
         for _ in range(iters):
-            g = scoring(state.params, wavs, lengths)
+            g = fn(state.params, wavs, lengths, key0)
         float(jnp.asarray(g).sum())
         dt = time.perf_counter() - t0
         utts = batch * iters

@@ -327,6 +327,12 @@ def make_scoring_fn(
         fn = scoring_mean if mean else per_sample
         return fn(params, jnp.asarray(wavs), jnp.asarray(lengths), rng)
 
+    # AOT hooks: the UNJITTED per-sample program + the resolved engine, so
+    # callers with static shapes (bench.py) can route it through the
+    # Pallas executable cache (ops/pallas/exec_cache.compile_cached) —
+    # Mosaic custom-calls are not covered by the persistent HLO cache
+    scoring.raw_per_sample = per_sample.__wrapped__
+    scoring.impl = impl
     return scoring
 
 
