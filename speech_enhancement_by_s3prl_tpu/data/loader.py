@@ -129,13 +129,19 @@ class DataLoader:
                 yield fetch(i, b)
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         results = {}
         results_lock = threading.Condition()
         task_q: "queue.Queue" = queue.Queue()
         for i, b in enumerate(batches):
             task_q.put((i, b))
         stop = threading.Event()
+        # completed-but-unconsumed batches are capped at `prefetch`: a
+        # worker that just stored a result waits for the consumer to drain
+        # before taking another task, so a slow consumer bounds host memory
+        # instead of the whole epoch being decoded ahead. The batch the
+        # consumer is waiting on is always already in flight (tasks are
+        # taken in order), so this cannot deadlock.
+        cap = max(1, self.prefetch)
 
         def worker():
             while not stop.is_set():
@@ -151,6 +157,8 @@ class DataLoader:
                 with results_lock:
                     results[i] = (batch, err)
                     results_lock.notify_all()
+                    while len(results) >= cap and not stop.is_set():
+                        results_lock.wait(timeout=1.0)
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -167,6 +175,7 @@ class DataLoader:
                         if i not in results and not any(t.is_alive() for t in threads):
                             raise RuntimeError("all loader workers died")
                     batch, err = results.pop(i)
+                    results_lock.notify_all()  # wake workers gated on `cap`
                 if err is not None:
                     raise err
                 yield batch

@@ -61,6 +61,21 @@ def _source_hash() -> str:
     return _SRC_HASH
 
 
+def _env_key() -> str:
+    """Every ``SE_*`` env knob that can shape a traced program (kernel
+    selection, stream dtypes, chunk sizes are all read from the
+    environment at trace time). Folding them ALL into the key centrally
+    means no call site can forget one — a serving process started under
+    different knobs must not load an executable compiled under the old
+    ones. Cache-plumbing variables that cannot affect the program are
+    excluded so toggling them stays warm."""
+    skip = {"SE_EXEC_CACHE", "SE_EXEC_CACHE_DIR"}
+    return ",".join(
+        f"{k}={v}" for k, v in sorted(os.environ.items())
+        if k.startswith("SE_") and k not in skip
+    )
+
+
 def _key(fn_key: str, args, kwargs) -> str:
     backend = jax.default_backend()
     try:
@@ -69,7 +84,7 @@ def _key(fn_key: str, args, kwargs) -> str:
         platform_version = "unknown"
     raw = "|".join(
         [jax.__version__, backend, str(platform_version), _source_hash(),
-         fn_key, _signature(args, kwargs)]
+         _env_key(), fn_key, _signature(args, kwargs)]
     )
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
 

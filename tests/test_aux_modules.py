@@ -22,6 +22,18 @@ def test_exec_cache_key_varies_with_signature_and_env(tmp_path, monkeypatch):
     monkeypatch.setenv("SE_EXEC_CACHE_DIR", str(tmp_path / "c"))
     assert str(tmp_path / "c") == exec_cache._cache_dir()
 
+    # SE_* knobs shape traced programs (kernel selection, stream dtypes):
+    # they must change the key even when the call site's fn_key forgot
+    # them (the serve path passes only the checkpoint path)
+    monkeypatch.setenv("SE_PALLAS_LSTM", "1")
+    k_knob = exec_cache._key("f", (a,), {})
+    assert k_knob != k1
+    monkeypatch.delenv("SE_PALLAS_LSTM")
+    assert exec_cache._key("f", (a,), {}) == k1
+    # cache-plumbing variables must NOT miss the cache
+    monkeypatch.setenv("SE_EXEC_CACHE", "0")
+    assert exec_cache._key("f", (a,), {}) == k1
+
 
 def test_initialize_distributed_single_process_noop(monkeypatch):
     """Without coordinator env vars this is a documented no-op — the CLI

@@ -347,3 +347,46 @@ def test_read_wav_ragged_data_chunk(tmp_path):
     p.write_bytes(raw)
     out, sr = read_wav(str(p))
     assert sr == 16000 and out.shape == (1, 2)
+
+
+def test_loader_prefetch_bound_limits_readahead():
+    """Workers must not decode the whole epoch ahead of a slow consumer:
+    completed-but-unconsumed batches are capped at `prefetch` (plus one
+    in-flight item per worker), bounding host memory."""
+    import threading
+    import time
+
+    fetched = []
+    fetched_lock = threading.Lock()
+
+    class CountingDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with fetched_lock:
+                fetched.append(i)
+            return np.zeros((100, 3), np.float32)
+
+        def collate_fn(self, samples, pad_to=None):
+            wavs = np.stack(samples).transpose(0, 2, 1)
+            return np.full((len(samples),), 100, np.int64), wavs
+
+    prefetch, workers, bs = 2, 2, 4
+    loader = DataLoader(
+        CountingDataset(), batch_size=bs, shuffle=False,
+        num_workers=workers, prefetch=prefetch,
+    )
+    it = iter(loader)
+    next(it)  # consume one batch, then stall while workers run ahead
+    time.sleep(1.0)
+    with fetched_lock:
+        ahead = len(fetched)
+    # consumed 1 batch; readahead is bounded by the cap + one batch being
+    # assembled per worker (each worker blocks only after storing)
+    assert ahead <= (1 + prefetch + workers) * bs, ahead
+    # draining the iterator still yields every batch exactly once
+    rest = list(it)
+    assert len(rest) == len(loader) - 1
+    with fetched_lock:
+        assert sorted(fetched) == list(range(64))
