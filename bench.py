@@ -69,12 +69,14 @@ ALL_MODES = [
     ("upstream", {"BENCH_MODE": "upstream"}),
     # Dropout-live finetune champion config (docs/PERF.md): rbg hardware
     # RNG (+10%), query-chunked attention whose per-chunk mask is the
-    # fused hash (no bits/probs tensors at all; chunk 256 sweep winner)
-    # — 1,309x vs 1,013x for naive+flax+threefry at the same B=64.
-    # B>=96 OOMs on the 6-layer FFN activation residuals, not attention.
+    # fused hash (no bits/probs tensors at all; chunk 256 sweep winner),
+    # and hash masks for the 13 hidden-state dropout sites too (+3%:
+    # 1,349x vs 1,310x at the same B=64; also unlocks B=128 without
+    # remat — 1,317x — by dropping the keep-mask residuals).
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
-                    "SE_PRNG": "rbg", "SE_ATTN_DROPOUT_CHUNK": "256"}),
+                    "SE_PRNG": "rbg", "SE_ATTN_DROPOUT_CHUNK": "256",
+                    "SE_HIDDEN_DROPOUT_IMPL": "hash"}),
     # capture engine (one batched backward + outer-product einsums,
     # active/sampler.py impl='capture') instead of vmap(grad): runs the
     # recurrence batched so the differentiable Pallas kernel applies —
