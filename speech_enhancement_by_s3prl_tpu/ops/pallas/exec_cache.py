@@ -115,8 +115,18 @@ def compile_cached(
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                payload, in_tree, out_tree = pickle.load(f)
-            compiled = deserialize_and_load(payload, in_tree, out_tree)
+                payload, in_tree, out_tree, device_ids = pickle.load(f)
+            # deserialize_and_load defaults execution_devices to EVERY
+            # backend device: on a multi-device host a single-device
+            # program then loads bound to all of them and raises
+            # ("expected N shards") on its first call. Re-bind to the
+            # devices the executable was compiled for (a missing id is a
+            # stale entry -> recompile below).
+            by_id = {d.id: d for d in jax.devices()}
+            compiled = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=[by_id[i] for i in device_ids],
+            )
             if verbose:
                 print(f"[exec_cache] loaded {fn_key} from {path}", flush=True)
             return compiled
@@ -128,10 +138,13 @@ def compile_cached(
     compiled = jitted.lower(*example_args, **example_kwargs).compile()
     try:
         payload, in_tree, out_tree = serialize(compiled)
+        device_ids = [
+            d.id for d in compiled._executable.xla_executable.local_devices()
+        ]
         os.makedirs(_cache_dir(), exist_ok=True)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            pickle.dump((payload, in_tree, out_tree), f)
+            pickle.dump((payload, in_tree, out_tree, device_ids), f)
         os.replace(tmp, path)
         if verbose:
             print(f"[exec_cache] saved {fn_key} to {path}", flush=True)

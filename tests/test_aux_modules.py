@@ -66,3 +66,33 @@ def test_plot_spectrogram_figures():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_exec_cache_round_trip_and_corrupt_fallback(tmp_path, monkeypatch):
+    """compile_cached must (a) compile + save on a cold cache, (b) return a
+    working executable on a warm cache (loaded, or transparently recompiled
+    when the serialized entry can't load on this host), and (c) recover
+    from a corrupt cache entry by recompiling."""
+    import jax.numpy as jnp
+
+    from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+        compile_cached,
+    )
+
+    monkeypatch.setenv("SE_EXEC_CACHE_DIR", str(tmp_path))
+    fn = lambda x: x * 2 + 1  # noqa: E731
+    a = jnp.arange(8.0)
+    want = np.asarray(a) * 2 + 1
+
+    c1 = compile_cached(fn, a, fn_key="rt")
+    assert c1 is not None
+    np.testing.assert_allclose(np.asarray(c1(a)), want)
+    entries = list(tmp_path.glob("*.aot"))
+    assert len(entries) == 1, "cold call must persist one entry"
+
+    c2 = compile_cached(fn, a, fn_key="rt")
+    np.testing.assert_allclose(np.asarray(c2(a)), want)
+
+    entries[0].write_bytes(b"corrupt")
+    c3 = compile_cached(fn, a, fn_key="rt")
+    np.testing.assert_allclose(np.asarray(c3(a)), want)

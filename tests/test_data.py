@@ -390,3 +390,71 @@ def test_loader_prefetch_bound_limits_readahead():
     assert len(rest) == len(loader) - 1
     with fetched_lock:
         assert sorted(fetched) == list(range(64))
+
+
+def test_read_wav_24bit_and_float64(tmp_path):
+    """24-bit PCM and IEEE float64 WAVs decode correctly (the reference's
+    librosa path accepts these containers; our parser must too)."""
+    import struct as _struct
+
+    def wav_bytes(fmt_code, bits, payload):
+        fmt = _struct.pack(
+            "<HHIIHH", fmt_code, 1, 16000, 16000 * bits // 8, bits // 8, bits
+        )
+        body = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + _struct.pack("<I", len(payload)) + payload
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # 24-bit PCM: values at +-half scale and zero
+    vals = [1 << 22, -(1 << 22), 0]
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    p = tmp_path / "p24.wav"
+    p.write_bytes(wav_bytes(1, 24, payload))
+    out, sr = read_wav(str(p))
+    assert sr == 16000
+    np.testing.assert_allclose(out[0], [0.5, -0.5, 0.0], atol=1e-6)
+
+    # IEEE float64
+    f64 = np.array([0.25, -0.125, 1.0], np.float64)
+    p = tmp_path / "f64.wav"
+    p.write_bytes(wav_bytes(3, 64, f64.tobytes()))
+    out, sr = read_wav(str(p))
+    np.testing.assert_allclose(out[0], f64.astype(np.float32), atol=1e-7)
+
+
+def test_noisy_clean_sampling_branches(tmp_path):
+    """NoisyCleanDataset sample_ratio complement, sample_num repetition and
+    get_subset (reference dataset.py:190-261 config surface)."""
+    rng = np.random.default_rng(5)
+    root = tmp_path / "paired2"
+    (root / "clean").mkdir(parents=True)
+    (root / "noisy").mkdir()
+    for i in range(6):
+        clean = rng.standard_normal(7000) * 0.1
+        write_wav(str(root / "clean" / f"clnsp_fileid_{i}.wav"), clean, 16000)
+        write_wav(str(root / "noisy" / f"noisy1_snr5_fileid_{i}.wav"),
+                  clean, 16000)
+
+    full = NoisyCleanDataset(roots=[str(root)], max_sec=0.5)
+    picked = NoisyCleanDataset(roots=[str(root)], max_sec=0.5,
+                               sample_ratio=0.5, select_sampled=True)
+    rest = NoisyCleanDataset(roots=[str(root)], max_sec=0.5,
+                             sample_ratio=0.5, select_sampled=False)
+    assert len(picked) == 3 and len(rest) == 3
+    # complement split: together they cover the full set exactly once
+    assert sorted(picked.clean_pths + rest.clean_pths) == sorted(full.clean_pths)
+
+    # sample_num larger than the corpus repeats files (reference repeat
+    # semantics) and smaller truncates
+    big = NoisyCleanDataset(roots=[str(root)], max_sec=0.5, sample_num=10)
+    assert len(big) == 10
+    small = NoisyCleanDataset(roots=[str(root)], max_sec=0.5, sample_num=2)
+    assert len(small) == 2
+
+    sub = full.get_subset(ratio=0.5)
+    assert len(sub) == 3
+    sub_seeded = full.get_subset(ratio=0.5, sample_seed=7)
+    assert len(sub_seeded) == 3
+    assert set(sub_seeded.clean_pths) <= set(full.clean_pths)

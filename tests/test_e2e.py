@@ -212,3 +212,49 @@ def test_profile_trace_written(corpus, tmp_path):
     for dirpath, _, names in os.walk(pdir):
         found += names
     assert found, "no trace files written"
+
+
+def test_warm_start_downstream_torch_ckpt(corpus, tmp_path):
+    """--dckpt warm start from a TORCH checkpoint (reference
+    run_downstream.py:212-217 'SmallModel'/'Downstream' formats)."""
+    import torch
+    import torch.nn as tnn
+
+    class TorchLSTMHead(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = tnn.LSTM(201, 8, num_layers=1, batch_first=True)
+            self.scaling_layer = tnn.Sequential(tnn.Linear(8, 201), tnn.ReLU())
+
+    torch.manual_seed(0)
+    head = TorchLSTMHead()
+    dckpt = str(tmp_path / "torch_head.ckpt")
+    torch.save({"Downstream": head.state_dict()}, dckpt)
+
+    runner, *_ = make_runner(corpus, tmp_path, dckpt=dckpt)
+    got = np.asarray(runner.state.params["params"]["scaling_layer"]["kernel"])
+    want = head.scaling_layer[0].weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dataset_mode_factory_branches(corpus, tmp_path):
+    """subtrain (finite copy), query_dev (pseudo-mode dev split) and the
+    unknown-mode guard (/root/reference/runner.py:154-200 surface)."""
+    from speech_enhancement_by_s3prl_tpu.models.upstream import (
+        DummyUpstream,
+    )
+
+    runner, *_ = make_runner(corpus, tmp_path)
+    sub = runner.get_dataset("subtrain")
+    assert len(sub) > 0
+
+    # query_dev needs pseudo wavs -> give the runner a spec-head upstream
+    from tests.test_active import small_upstream
+
+    runner.upstream_model = runner.upstream_model2 = small_upstream()
+    qd = runner.get_dataset("query_dev")
+    wavs, case = qd[0]
+    assert case == 3
+
+    with pytest.raises(ValueError, match="unknown dataset mode"):
+        runner.get_dataset("nope")

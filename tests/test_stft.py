@@ -109,3 +109,39 @@ def test_hann_window_matches_torch():
     np.testing.assert_allclose(
         hann_window(400), torch.hann_window(400).numpy(), atol=1e-6
     )
+
+
+def test_stft_hopmm_method_matches_matmul():
+    """'hopmm' (hop-blocked matmul, a recorded ablation — docs/PERF.md) is
+    the same linear map as the default strided-conv lowering."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32))
+    base = np.asarray(stft(x, P, method="matmul"))
+    hop = np.asarray(stft(x, P, method="hopmm"))
+    np.testing.assert_allclose(hop, base, atol=2e-3)
+
+
+def test_pallas_dsp_env_dispatch(monkeypatch):
+    """SE_PALLAS_STFT / SE_PALLAS_DECODE route stft()/istft() through the
+    fused Pallas kernels (interpret mode on CPU) — the dispatch itself,
+    not just the kernels, must preserve parity."""
+    from speech_enhancement_by_s3prl_tpu.ops.stft import istft, magphase
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    base_spec = np.asarray(stft(x, P, method="matmul"))
+    power, phase = magphase(jnp.asarray(base_spec), P.n_freq, power=2.0)
+    base_wav = np.asarray(istft(power, phase, P))
+
+    monkeypatch.setenv("SE_PALLAS_STFT", "1")
+    monkeypatch.setenv("SE_PALLAS_DECODE", "1")
+    k_spec = np.asarray(stft(x, P, method="matmul"))
+    k_wav = np.asarray(istft(power, phase, P))
+    # the kernels run bf16 MXU matmuls: scale-relative tolerance, like
+    # tests/test_pallas_dsp.py's direct kernel parity checks
+    np.testing.assert_allclose(
+        k_spec, base_spec, atol=5e-3 * max(np.abs(base_spec).max(), 1.0)
+    )
+    np.testing.assert_allclose(
+        k_wav, base_wav, atol=5e-3 * max(np.abs(base_wav).max(), 1.0)
+    )

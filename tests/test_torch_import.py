@@ -58,3 +58,46 @@ def test_convert_lstm_state_key_coverage():
     out = convert_lstm_state({f"lstm.{k}": v for k, v in t.state_dict().items()})
     assert set(out) == {"l0_fwd", "l0_bwd", "l1_fwd", "l1_bwd"}
     assert set(out["l0_fwd"]) == {"w_ih", "w_hh", "b_ih", "b_hh"}
+
+
+@pytest.mark.parametrize("model_name", ["Linear", "LinearResidual"])
+def test_linear_head_import(model_name):
+    """Linear / LinearResidual --dckpt conversion parity
+    (/root/reference/model.py:8-34: a single nn.Linear named 'linear')."""
+    from speech_enhancement_by_s3prl_tpu.models.heads import (
+        Linear as JLinear,
+        LinearResidual,
+    )
+
+    torch.manual_seed(1)
+    D, O = 10, 7
+    t_lin = tnn.Linear(D, O)
+    sd = {f"linear.{k}": v for k, v in t_lin.state_dict().items()}
+    params = {"params": convert_downstream_state(sd, model_name)}
+
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 5, D)).astype(np.float32)
+    linears = np.abs(rng.standard_normal((2, 5, O)).astype(np.float32))
+    with torch.no_grad():
+        t_out = t_lin(torch.tensor(feats)).numpy()
+
+    if model_name == "Linear":
+        model = JLinear(input_size=D, output_size=O, activation="ReLU")
+        pred, _ = model.apply(jax.tree.map(jnp.asarray, params),
+                              jnp.asarray(feats))
+        np.testing.assert_allclose(
+            np.asarray(pred), np.maximum(t_out, 0.0), atol=1e-5
+        )
+    else:
+        model = LinearResidual(input_size=D, output_size=O,
+                               activation="Sigmoid", cmvn=False)
+        pred, aux = model.apply(jax.tree.map(jnp.asarray, params),
+                                jnp.asarray(feats), jnp.asarray(linears))
+        sig = 1.0 / (1.0 + np.exp(-t_out))
+        np.testing.assert_allclose(np.asarray(aux["offset"]), sig, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(pred), linears * sig, atol=1e-5)
+
+
+def test_convert_downstream_state_unknown_model():
+    with pytest.raises(ValueError, match="no converter"):
+        convert_downstream_state({}, "NotAHead")
