@@ -7,9 +7,10 @@ Per-utterance wrapper with the reference's calling convention
 Scoring backend: the ITU-conformant ``pesq`` wheel when importable (what
 the reference scores with), else the batched JAX P.862 model
 (metrics/pesq_jax.py) with a one-time notice — it runs the published
-P.862 tables (metrics/p862_tables.py) but omits the fine time-alignment
-search and is not certified against ITU conformance points
-(docs/PARITY_NOTES.md).
+P.862 tables (metrics/p862_tables.py) and the full time-alignment chain
+(envelope coarse pass + sample-exact raw-signal fine correlation,
+pesq_jax.py), but is not certified against ITU conformance points; the
+remaining deliberate approximations are listed in docs/PARITY_NOTES.md.
 """
 from __future__ import annotations
 
@@ -34,7 +35,7 @@ def itu_pesq_fn():
 def _warn_approximate() -> bool:
     warnings.warn(
         "[pesq] scoring with the JAX P.862 model (published tables, "
-        "coarse-only time alignment, no ITU conformance certification); "
+        "coarse+fine time alignment, no ITU conformance certification); "
         "install the `pesq` package for ITU-conformant MOS-LQO"
     )
     return True
