@@ -93,6 +93,49 @@ ALL_MODES = [
 ]
 
 
+# v5e peaks: 197 bf16 TFLOPS (the MXU rate default-precision f32 matmuls
+# also run at — TPU truncates operands to bf16 unless precision is raised),
+# 819 GB/s HBM. Override per target chip.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+PEAK_HBM_GBPS = float(os.environ.get("BENCH_PEAK_HBM_GBPS", "819"))
+
+
+def roofline_fields(seconds_per_step, cost_fn, *cost_args, src="jaxpr",
+                    **cost_kwargs):
+    """MFU / bandwidth-utilization fields for a mode's JSON line.
+
+    FLOPs come from the jaxpr cost walker (utils/costs.py) — XLA's own
+    cost analysis counts while bodies once, undercounting every scan-shaped
+    program here by the trip count. For Pallas modes the caller passes the
+    SCAN-EQUIVALENT twin (same math, no opaque custom calls); ``src``
+    labels which program was costed. ``hbm_*_model`` is the traffic model
+    (program I/O + matmul operands/results with loop-invariance), not a
+    hardware counter — see the costs module docstring."""
+    try:
+        from speech_enhancement_by_s3prl_tpu.utils.costs import program_cost
+
+        c = program_cost(cost_fn, *cost_args, **cost_kwargs)
+    except Exception as e:  # never let accounting sink the measurement
+        return {"roofline_error": f"{type(e).__name__}: {e}"[-300:]}
+    tflops = c["flops"] / seconds_per_step / 1e12
+    gbps = c["hbm_bytes_model"] / seconds_per_step / 1e9
+    out = {
+        "flops_per_step": c["flops"],
+        "dot_flops_per_step": c["dot_flops"],
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / PEAK_TFLOPS, 4),
+        "hbm_gbytes_per_step_model": round(c["hbm_bytes_model"] / 1e9, 4),
+        "hbm_gbps_model": round(gbps, 1),
+        "hbm_util_model": round(gbps / PEAK_HBM_GBPS, 4),
+        "flops_src": src,
+    }
+    if c["opaque_calls"]:
+        out["roofline_opaque_calls"] = c["opaque_calls"]
+    if c["unbounded_loops"]:
+        out["roofline_unbounded_loops"] = c["unbounded_loops"]
+    return out
+
+
 def bench_loader():
     """Host input-pipeline throughput: file decode + on-the-fly SNR mixing
     + bucketed collate through OnlineDataset/DataLoader, no accelerator
@@ -309,6 +352,13 @@ def main():
 
     enhance, (params, _, _) = graft.entry()
 
+    def scan_twin_enhance():
+        """The cost-analysis subject: the same enhance math with the scan
+        recurrence — Pallas custom calls are opaque to any flop counter."""
+        if os.environ.get("SE_PALLAS_LSTM", "0") != "1":
+            return enhance, "jaxpr"
+        return graft.make_enhance(graft._build(use_pallas=False)), "jaxpr_scan_twin"
+
     sr = 16000
     utt_sec = int(os.environ.get("BENCH_UTT_SEC", "10"))
     T = sr * utt_sec
@@ -377,6 +427,9 @@ def main():
                 out = f(params, w1, l1)
             float(out)
             lat_ms[sec] = (time.perf_counter() - t0) / iters * 1000.0
+        twin, src = scan_twin_enhance()
+        w10 = jnp.zeros((1, 3, sr * 10), jnp.float32)
+        l10 = jnp.full((1,), sr * 10, jnp.int32)
         print(json.dumps({
             "metric": "serve_latency_b1_10s_ms",
             "value": round(lat_ms[10], 3),
@@ -384,6 +437,10 @@ def main():
             # single-stream realtime factor vs the 10x-RT north star
             "vs_baseline": round((10.0 / (lat_ms[10] / 1000.0)) / 10.0, 3),
             "latency_b1_1s_ms": round(lat_ms[1], 3),
+            **roofline_fields(
+                lat_ms[10] / 1000.0,
+                lambda p, w, l: twin(p, w, l).sum(), params, w10, l10, src=src,
+            ),
         }))
         return
 
@@ -395,6 +452,7 @@ def main():
         builder = graft._build()
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
+        up = builder.upstream_params()
         # AOT exec cache for the train step too: with SE_PALLAS_LSTM=1 the
         # differentiable time-major kernel is a Mosaic custom call that the
         # persistent HLO cache skips — without this every process pays the
@@ -421,7 +479,6 @@ def main():
                     "SE_PALLAS_GATES_BF16",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
-            up = builder.upstream_params()
             raw = compile_cached(
                 builder.train_step_raw(),
                 state, wavs, lengths, rng, up,
@@ -445,11 +502,20 @@ def main():
         float(stats["loss"])  # scalar fetch = sync point for the chain
         dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
+        twin_src = "jaxpr"
+        twin_builder = builder
+        if os.environ.get("SE_PALLAS_LSTM", "0") == "1":
+            twin_builder = graft._build(use_pallas=False)
+            twin_src = "jaxpr_scan_twin"
         print(json.dumps({
             "metric": "train_audio_rtf_per_chip",
             "value": round(audio_seconds / dt, 2),
             "unit": "x_realtime",
             "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+            **roofline_fields(
+                dt / iters, twin_builder.train_step_raw(),
+                state, wavs, lengths, rng, up, src=twin_src,
+            ),
         }))
         return
 
@@ -495,6 +561,10 @@ def main():
             "value": round(audio_seconds / dt, 2),
             "unit": "x_realtime",
             "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+            **roofline_fields(
+                dt / iters, lambda p, f: up(f, params=p).sum(),
+                up.params, feats,
+            ),
         }))
         return
 
@@ -552,6 +622,10 @@ def main():
             "value": round(audio_seconds / dt, 2),
             "unit": "x_realtime",
             "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+            **roofline_fields(
+                dt / iters, builder.train_step_raw(),
+                state, wavs, lengths, rng, builder.upstream_params(),
+            ),
         }))
         return
 
@@ -608,11 +682,22 @@ def main():
         float(jnp.asarray(g).sum())
         dt = time.perf_counter() - t0
         utts = batch * iters
+        twin_src = "jaxpr"
+        twin_scoring = scoring
+        if os.environ.get("SE_PALLAS_LSTM", "0") == "1":
+            twin_scoring = make_scoring_fn(
+                graft._build(use_pallas=False), active_layerid=layerid
+            )
+            twin_src = "jaxpr_scan_twin"
         print(json.dumps({
             "metric": "sampler_scoring_utts_per_sec_per_chip",
             "value": round(utts / dt, 2),
             "unit": "utts_per_sec",
             "vs_baseline": round((utts / dt) / 1.0, 3),
+            **roofline_fields(
+                dt / iters, twin_scoring.raw_per_sample,
+                state.params, wavs, lengths, key0, src=twin_src,
+            ),
         }))
         return
 
@@ -639,6 +724,7 @@ def main():
         builder = dataclasses.replace(graft._build(), eval_metrics=metrics)
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
+        up = builder.upstream_params()
         # wav_out='first' is what the runner uses when all metrics score
         # on device: frees three full-batch output buffers (trainer.py).
         # Chunked metric kernels (lax.map over sub-batches of 128) cut the
@@ -672,7 +758,6 @@ def main():
                     "BENCH_EVAL_METRICS", "SE_METRIC_PRECISION",
                 )
             ) + f",unroll={DEFAULT_UNROLL}"
-            up = builder.upstream_params()
             raw = compile_cached(
                 builder.eval_step_raw(wav_out="first"),
                 state.params, wavs, lengths, up,
@@ -695,11 +780,22 @@ def main():
         )
         dt = time.perf_counter() - t0
         audio_seconds = batch * utt_sec * iters
+        twin_src = "jaxpr"
+        twin_builder = builder
+        if os.environ.get("SE_PALLAS_LSTM", "0") == "1":
+            twin_builder = dataclasses.replace(
+                graft._build(use_pallas=False), eval_metrics=metrics
+            )
+            twin_src = "jaxpr_scan_twin"
         print(json.dumps({
             "metric": "eval_audio_rtf_per_chip",
             "value": round(audio_seconds / dt, 2),
             "unit": "x_realtime",
             "vs_baseline": round((audio_seconds / dt) / 10.0, 3),
+            **roofline_fields(
+                dt / iters, twin_builder.eval_step_raw(wav_out="first"),
+                state.params, wavs, lengths, up, src=twin_src,
+            ),
         }))
         return
 
@@ -758,6 +854,7 @@ def main():
 
     audio_seconds = batch * utt_sec * iters
     rtf = audio_seconds / dt
+    twin, twin_src = scan_twin_enhance()
     print(
         json.dumps(
             {
@@ -765,6 +862,10 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 10.0, 3),
+                **roofline_fields(
+                    dt / iters, lambda p, w, l: twin(p, w, l).sum(),
+                    params, wavs, lengths, src=twin_src,
+                ),
             }
         )
     )
