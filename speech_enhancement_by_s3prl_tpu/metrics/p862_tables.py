@@ -24,15 +24,16 @@ see ``validate_tables`` and tests/test_p862_tables.py):
 - ``NR_OF_HZ_BANDS_8K`` (42): transcribed. Verified: sums to exactly
   128 = the number of usable 31.25 Hz FFT bins (bins 1..128) of the
   256-point 8 kHz frame.
-- ``NR_OF_HZ_BANDS_16K`` (49): bands 0..41 equal the 8 kHz table (the
-  bark band edges are shared and the 512-point/16 kHz frame has the same
-  31.25 Hz bin width), constrained to sum to 256 usable bins. The seven
-  4-8 kHz entries are NOT transcribed: they are derived from a smooth
-  bark-warp fitted to the 43 exact band-edge anchors below 4 kHz plus
-  the 8 kHz terminal edge (max fit residual 0.07 bark; an independent
-  slope-extrapolation model agrees within +/-2 bins per band). They
-  carry ~no weight in the nb scoreboard mode (the IRS receive filter
-  passes 200-3500 Hz) and a bounded approximation in wb mode.
+- ``NR_OF_HZ_BANDS_16K`` (49): transcribed. Bands 0..40 equal the 8 kHz
+  table (shared bark edges; the 512-point/16 kHz frame has the same
+  31.25 Hz bin width). Verified: sums to exactly 256 usable bins, and
+  the two Nyquist-truncation identities hold — the published tables
+  diverge at band 41 (16 kHz: 12 bins; 8 kHz: 11 = 128 - 117, its 4 kHz
+  Nyquist clip of the same band) and the final 16 kHz band's 20 bins sit
+  below the monotone bark-width trend (≈26 untruncated) because the
+  8 kHz Nyquist clips it. Both identities are structural properties of
+  the real tables that a mis-transcription would break (previous rounds
+  carried a smooth-fit tail here; it reproduced neither).
 - ``POW_DENS_CORRECTION``: 100/nr per band. The published floats equal
   this to ~1e-6 relative (they carry float32 generation noise).
 - ``SP_16K``/``SL_16K`` power/loudness scale constants: transcribed
@@ -87,10 +88,18 @@ NR_OF_HZ_BANDS_8K = np.array([
     2, 2, 3, 3, 3, 3, 4, 3, 4, 5, 4, 5, 6, 6, 7, 8, 9, 9, 11,
 ], dtype=np.int64)
 
-# 4-8 kHz tail: DERIVED, not transcribed (see module docstring)
-DERIVED_NR_TAIL_16K = np.array([12, 13, 14, 17, 19, 24, 29], dtype=np.int64)
+# 16 kHz grouping, bands 41..48 (4-8 kHz): transcribed. Band 41 is 12
+# where the 8 kHz table has 11 — the published tables genuinely diverge
+# there, and the divergence is itself a consistency proof: bins 1..117
+# cover bands 0..40, so band 41's 12 bins would reach bin 129 ≈ 4031 Hz,
+# past the 8 kHz model's 4 kHz Nyquist — its table truncates to
+# 128-117 = 11, exactly the published 8 kHz entry. The final band's 20
+# bins likewise sit BELOW the bark-width trend (band 47 spans 25 bins;
+# width_bark grows monotonically, so band 48 untruncated would need ~26)
+# because it is clipped at the 8 kHz Nyquist.
+NR_TAIL_16K = np.array([12, 12, 15, 16, 18, 21, 25, 20], dtype=np.int64)
 
-NR_OF_HZ_BANDS_16K = np.concatenate([NR_OF_HZ_BANDS_8K, DERIVED_NR_TAIL_16K])
+NR_OF_HZ_BANDS_16K = np.concatenate([NR_OF_HZ_BANDS_8K[:41], NR_TAIL_16K])
 
 # -- model scale constants ----------------------------------------------
 SP_16K = 6.910853e-6     # power scale (pitch power density normalization)
@@ -159,8 +168,16 @@ def validate_tables() -> None:
     # grouping covers exactly the usable FFT bins
     assert NR_OF_HZ_BANDS_8K.sum() == 128
     assert NR_OF_HZ_BANDS_16K.sum() == 256
-    assert np.all(NR_OF_HZ_BANDS_8K >= 1) and np.all(DERIVED_NR_TAIL_16K >= 1)
-    assert np.all(np.diff(DERIVED_NR_TAIL_16K) >= 0)
+    assert np.all(NR_OF_HZ_BANDS_8K >= 1) and np.all(NR_TAIL_16K >= 1)
+    # shared bark edges below 4 kHz; band 41 is the 8 kHz model's
+    # Nyquist-truncated band: 11 = 128 - (bins covering bands 0..40)
+    assert np.array_equal(NR_OF_HZ_BANDS_16K[:41], NR_OF_HZ_BANDS_8K[:41])
+    assert NR_OF_HZ_BANDS_8K[41] == 128 - NR_OF_HZ_BANDS_8K[:41].sum()
+    assert NR_OF_HZ_BANDS_16K[41] > NR_OF_HZ_BANDS_8K[41]
+    # bins-per-band grow with the bark widths except the final band,
+    # which the 8 kHz Nyquist clips below trend
+    assert np.all(np.diff(NR_TAIL_16K[:-1]) >= 0)
+    assert NR_TAIL_16K[-1] < NR_TAIL_16K[-2]
     # IRS plateau and band edges are sane
     g = irs_receive_gain(np.array([100.0, 1000.0, 3000.0, 4000.0]))
     assert g[1] == g[2] == 10.0 ** (12.0 / 20.0)

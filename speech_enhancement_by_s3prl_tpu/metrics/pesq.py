@@ -63,6 +63,14 @@ def pesq_mos_lqo(ref: np.ndarray, deg: np.ndarray, sr: int = 16000,
 
     from .pesq_jax import pesq_batch
 
+    # External pairs may carry mid-utterance delay changes, so the host
+    # API runs the P.862 bad-interval realignment; the batched eval
+    # kernel leaves it off by default (this framework's own enhancement
+    # outputs are sample-aligned by construction — SE_PESQ_REALIGN=1
+    # forces it there).
     return float(
-        pesq_batch(jnp.asarray(ref)[None], jnp.asarray(deg)[None], sr, mode)[0]
+        pesq_batch(
+            jnp.asarray(ref)[None], jnp.asarray(deg)[None], sr, mode,
+            realign=True,
+        )[0]
     )

@@ -18,18 +18,23 @@ published constant tables (metrics/p862_tables.py):
   narrowband / P.862.2 wideband constants).
 
 Remaining deviations from the ITU implementation, stated plainly:
-- time alignment is a single global delay per utterance (envelope
-  cross-correlation, the coarse half of the ITU search) rather than the
-  full utterance-splitting + fine-alignment + bad-interval realignment
-  procedure; this framework's own enhancement pipeline is sample-aligned
-  by construction (iSTFT with the noisy phase preserves timing), where
-  the shift is the identity;
+- time alignment is one global delay per utterance (envelope coarse pass
+  + sample-exact raw-signal fine correlation) plus, when
+  ``realign=True``, the P.862 bad-interval refinement: intervals of
+  consecutive frames whose disturbance exceeds the bad-frame threshold
+  are re-aligned by raw-signal cross-correlation and re-scored, keeping
+  the realigned disturbance when it is lower — the mechanism by which
+  the ITU chain absorbs mid-utterance delay changes (its per-utterance
+  splitting reduces to this when the piecewise delays disagree). The
+  refinement caps intervals per utterance and frames per interval
+  (static TPU shapes; knobs below) where the ITU code is unbounded, and
+  this framework's own enhancement pipeline is sample-aligned by
+  construction (iSTFT with the noisy phase preserves timing), so the
+  batched eval kernel leaves it off by default (SE_PESQ_REALIGN=1
+  forces it; the host per-utterance API enables it for external pairs);
 - the IRS receive filter is applied in the power-spectral domain per
   frame (exact published magnitude response; the ITU filters the time
   signal, which additionally smears frame boundaries);
-- the seven 4-8 kHz bin-grouping entries of the 16 kHz table are derived,
-  not transcribed (p862_tables.py documents the construction); they are
-  ~weightless in nb mode;
 - the wideband input filter is a smooth analytic highpass.
 
 Scores track P.862 MOS-LQO in ordering and absolute range; for
@@ -325,6 +330,158 @@ def _shift_back(x: jnp.ndarray, delay: jnp.ndarray, max_abs: int):
     return out * ((idx >= 0) & (idx < T))
 
 
+def _loudness(Bp, p0, mzp, sl):
+    """Modified Zwicker loudness (Sl scale, per-band exponent)."""
+    r = (0.5 + 0.5 * Bp / p0) ** mzp - 1.0
+    return sl * (p0 / 0.5) ** mzp * jnp.maximum(r, 0.0)
+
+
+def _frame_disturbance(L_ref, L_deg, B_ref_eq, B_deg_eq, w, W):
+    """Per-frame symmetric / asymmetric disturbance from loudness pairs:
+    masking deadzone, asymmetry weighting, pseudo-Lp bark aggregation
+    (band 0 excluded via the width vector ``w``). Shared by the main pass
+    and the bad-interval realignment (which re-runs it on re-aligned
+    degraded frames)."""
+    d = L_deg - L_ref
+    m = 0.25 * jnp.minimum(L_deg, L_ref)
+    d_sym = jnp.sign(d) * jnp.maximum(jnp.abs(d) - m, 0.0)
+
+    asym = ((B_deg_eq + 50.0) / (B_ref_eq + 50.0)) ** 1.2
+    asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
+    d_asym = d_sym * asym
+
+    frame_sym = jnp.sqrt(W * ((d_sym * w) ** 2).sum(-1))
+    frame_asym = (jnp.abs(d_asym) * w).sum(-1)
+    return frame_sym, frame_asym
+
+
+# -- P.862 bad-interval realignment constants (the published thresholds) --
+THRESHOLD_BAD_FRAMES = 30.0   # weighted frame disturbance above = "bad"
+MIN_BAD_FRAMES_IN_INTERVAL = 5
+
+
+def _bad_interval_realign(
+    C, ref, deg, g2, frame_sym, frame_asym, fmask,
+    B_ref_eq, L_ref, ratio_s, fw, w, W, p0, mzp, sl,
+):
+    """P.862 bad-interval refinement, batched with static shapes.
+
+    Frames whose weighted disturbance exceeds THRESHOLD_BAD_FRAMES form
+    intervals; intervals of >= MIN_BAD_FRAMES_IN_INTERVAL consecutive bad
+    frames are re-aligned by raw-signal cross-correlation (search
+    +/- SE_PESQ_BAD_SEARCH samples; the default matches the ITU
+    SEARCHBUFFER range of 75 decimated cells = 2400 samples at 16 kHz,
+    1200 at 8 kHz) and re-scored
+    through the same band -> gain -> loudness -> disturbance chain using
+    the FIRST PASS's per-utterance frequency compensation and per-frame
+    gain ratio (as the ITU code reuses its stored compensations); the
+    realigned disturbances replace the originals when their interval sum
+    is lower. Static-shape bounds the ITU code doesn't have: at most
+    SE_PESQ_BAD_INTERVALS intervals per utterance (default 4, earliest
+    first) and SE_PESQ_BAD_FRAMES re-scored frames per interval (default
+    64 = 2.1 s, from the interval start).
+    """
+    K = int(os.environ.get("SE_PESQ_BAD_INTERVALS", "4"))
+    n_frame, hop, M = C["n_frame"], C["hop"], frame_sym.shape[1]
+    Lf = min(int(os.environ.get("SE_PESQ_BAD_FRAMES", "64")), M)
+    # ITU search range: SEARCHBUFFER(75) * Downsample(32 @16k / 16 @8k)
+    # samples = 75 * n_frame / 16 at both rates
+    search = int(os.environ.get("SE_PESQ_BAD_SEARCH", str(75 * n_frame // 16)))
+    Ws = (Lf - 1) * hop + n_frame  # window sample span
+
+    bad = (frame_sym > THRESHOLD_BAD_FRAMES) & (fmask > 0)
+    starts = bad & ~jnp.pad(bad[:, :-1], ((0, 0), (1, 0)))
+    run_id = jnp.cumsum(starts, axis=1) * bad  # (B, M), 0 = not bad
+    run_len = jax.vmap(
+        lambda rid: jax.ops.segment_sum(
+            jnp.ones((M,), jnp.float32), rid, num_segments=M + 1
+        )
+    )(run_id)
+    qual = run_len >= MIN_BAD_FRAMES_IN_INTERVAL
+    qual = qual.at[:, 0].set(False)
+    qrank = jnp.cumsum(qual, axis=1) * qual  # (B, M+1): 1..Q over qualifying
+    frame_rank = jnp.take_along_axis(qrank, run_id, axis=1)  # (B, M)
+
+    ks = jnp.arange(1, K + 1)
+    in_k = frame_rank[:, None, :] == ks[None, :, None]  # (B, K, M)
+    tidx = jnp.arange(M)
+    start_f = jnp.min(jnp.where(in_k, tidx[None, None], M), axis=-1)
+    valid = start_f < M  # (B, K)
+    f0 = jnp.clip(start_f, 0, max(M - Lf, 0))
+
+    deg_pad = jnp.pad(deg, ((0, 0), (search, search)))
+    fr_off = jnp.arange(Lf)[:, None] * hop + jnp.arange(n_frame)[None, :]
+    dft_re = jnp.asarray(C["dft_re"])
+    dft_im = jnp.asarray(C["dft_im"])
+    G = jnp.asarray(C["group"])
+    hi = _metric_precision()
+
+    def one(ref_b, degp_b, f0_bk, B_ref_eq_b, L_ref_b, ratio_b, fw_b):
+        s0 = f0_bk * hop
+        ref_seg = jax.lax.dynamic_slice(ref_b, (s0,), (Ws,))
+        deg_wide = jax.lax.dynamic_slice(degp_b, (s0,), (Ws + 2 * search,))
+        # raw-signal cross-correlation over +/- search around the global
+        # alignment (ITU compute_delay on the interval span), via FFT:
+        # xc[d] = sum_w ref[w] * deg_wide[w + d], d in 0..2*search
+        # (pow2 FFT — see _fix_power_level)
+        nfft = 1 << (Ws + 2 * search - 1).bit_length()
+        xc = jnp.fft.irfft(
+            jnp.conj(jnp.fft.rfft(ref_seg, nfft)) * jnp.fft.rfft(deg_wide, nfft),
+            nfft,
+        )[: 2 * search + 1]
+        d_star = jnp.argmax(xc, axis=-1)  # 0..2*search; shift = d_star-search
+        deg_seg = jax.lax.dynamic_slice(deg_wide, (d_star,), (Ws,))
+
+        fr = deg_seg[fr_off]  # (Lf, n_frame)
+        re = jnp.einsum("ln,nk->lk", fr, dft_re,
+                        preferred_element_type=jnp.float32, precision=hi)
+        im = jnp.einsum("ln,nk->lk", fr, dft_im,
+                        preferred_element_type=jnp.float32, precision=hi)
+        P = (re * re + im * im) * g2
+        Bd = jnp.einsum("lk,kj->lj", P, G,
+                        preferred_element_type=jnp.float32, precision=hi)
+        ratio_sl = jax.lax.dynamic_slice(ratio_b, (f0_bk,), (Lf,))
+        Bd_eq = Bd * ratio_sl[:, None]
+        L_deg_bad = _loudness(Bd_eq, p0, mzp, sl)
+        L_ref_sl = jax.lax.dynamic_slice(L_ref_b, (f0_bk, 0), (Lf, L_ref_b.shape[1]))
+        B_ref_sl = jax.lax.dynamic_slice(
+            B_ref_eq_b, (f0_bk, 0), (Lf, B_ref_eq_b.shape[1])
+        )
+        fs_new, fa_new = _frame_disturbance(
+            L_ref_sl, L_deg_bad, B_ref_sl, Bd_eq, w, W
+        )
+        fw_sl = jax.lax.dynamic_slice(fw_b, (f0_bk,), (Lf,))
+        fs_new = jnp.minimum(fs_new / fw_sl, 45.0)
+        fa_new = jnp.minimum(fa_new / fw_sl, 45.0)
+        # place the window back on the global frame axis
+        z = jnp.zeros((M,), jnp.float32)
+        fs_full = jax.lax.dynamic_update_slice(z, fs_new, (f0_bk,))
+        fa_full = jax.lax.dynamic_update_slice(z, fa_new, (f0_bk,))
+        win_mask = jax.lax.dynamic_update_slice(
+            z, jnp.ones((Lf,), jnp.float32), (f0_bk,)
+        )
+        return fs_full, fa_full, win_mask
+
+    fs_k, fa_k, win_k = jax.vmap(  # over batch
+        jax.vmap(one, in_axes=(None, None, 0, None, None, None, None))
+    )(ref, deg_pad, f0, B_ref_eq, L_ref, ratio_s, fw)  # (B, K, M)
+
+    # per-interval acceptance: replace the interval's frames only when the
+    # re-aligned interval disturbance sum is lower (ITU acceptance rule);
+    # restricted to interval ∩ recompute-window frames
+    upd = in_k & (win_k > 0)  # (B, K, M)
+    old_sum = jnp.sum(jnp.where(upd, frame_sym[:, None, :], 0.0), axis=-1)
+    new_sum = jnp.sum(jnp.where(upd, fs_k, 0.0), axis=-1)
+    accept = valid & (new_sum < old_sum)  # (B, K)
+    take = upd & accept[..., None]  # disjoint across K (runs are disjoint)
+    any_take = take.any(axis=1)
+    fs_repl = jnp.sum(jnp.where(take, fs_k, 0.0), axis=1)
+    fa_repl = jnp.sum(jnp.where(take, fa_k, 0.0), axis=1)
+    frame_sym = jnp.where(any_take, fs_repl, frame_sym)
+    frame_asym = jnp.where(any_take, fa_repl, frame_asym)
+    return frame_sym, frame_asym
+
+
 def pesq_batch(
     ref: jnp.ndarray,
     deg: jnp.ndarray,
@@ -332,15 +489,20 @@ def pesq_batch(
     mode: str = "nb",
     lengths=None,
     align: bool = True,
+    realign=None,
 ) -> jnp.ndarray:
     """Batched MOS-LQO, (B, T) x (B, T) -> (B,).
 
     align=True estimates one global delay per utterance (envelope
-    cross-correlation, the coarse half of P.862's alignment search;
+    cross-correlation coarse pass + sample-exact raw-signal fine pass;
     +/- 500 ms range) and shifts the degraded signal before scoring.
-    This framework's own enhancement outputs are sample-aligned by
-    construction (delay 0, shift is the identity) — the search matters
-    when scoring externally produced audio pairs."""
+    realign=True additionally runs the P.862 bad-interval refinement
+    (_bad_interval_realign): frames whose disturbance exceeds the
+    bad-frame threshold are per-interval re-aligned and re-scored,
+    absorbing mid-utterance delay changes. Default: the SE_PESQ_REALIGN
+    env (off — this framework's own enhancement outputs are sample-
+    aligned by construction, so the batched eval kernel skips the extra
+    work; the host per-utterance API turns it on for external pairs)."""
     assert mode in ("nb", "wb")
     fs = sample_rate
     C = _model_consts(fs)
@@ -434,35 +596,30 @@ def pesq_batch(
     # modified Zwicker loudness (Sl scale, per-band exponent)
     mzp = jnp.asarray(C["mzp"])
     sl = C["sl"]
+    L_ref = _loudness(B_ref_eq, p0, mzp, sl)
+    L_deg = _loudness(B_deg_eq, p0, mzp, sl)
 
-    def loud(Bp):
-        r = (0.5 + 0.5 * Bp / p0) ** mzp - 1.0
-        return sl * (p0 / 0.5) ** mzp * jnp.maximum(r, 0.0)
-
-    L_ref = loud(B_ref_eq)
-    L_deg = loud(B_deg_eq)
-
-    # disturbance with masking deadzone
-    d = L_deg - L_ref
-    m = 0.25 * jnp.minimum(L_deg, L_ref)
-    d_sym = jnp.sign(d) * jnp.maximum(jnp.abs(d) - m, 0.0)
-
-    asym = ((B_deg_eq + 50.0) / (B_ref_eq + 50.0)) ** 1.2
-    asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
-    d_asym = d_sym * asym
-
-    # aggregate over bark: the ITU pseudo_Lp (band 0 excluded) —
-    # W * (sum((|d| w)^p) / W)^(1/p) with p=2 (sym), p=1 (asym)
-    # W * (sum((|d| w)^p) / W)^(1/p): p=2 -> sqrt(W) * ||d w||_2
+    # disturbance + pseudo-Lp bark aggregation (band 0 excluded via w)
     w = jnp.asarray(C["width"]) * aud_sel
     W = w.sum()
-    frame_sym = jnp.sqrt(W * ((d_sym * w) ** 2).sum(-1))
-    frame_asym = (jnp.abs(d_asym) * w).sum(-1)
+    frame_sym, frame_asym = _frame_disturbance(
+        L_ref, L_deg, B_ref_eq, B_deg_eq, w, W
+    )
 
     # frame weighting by the reference's audible power
     fw = ((aud_ref + 1e5) / 1e7) ** 0.04
     frame_sym = jnp.minimum(frame_sym / fw, 45.0) * fmask
     frame_asym = jnp.minimum(frame_asym / fw, 45.0) * fmask
+
+    if realign is None:
+        realign = os.environ.get("SE_PESQ_REALIGN", "0") == "1"
+    if realign:
+        frame_sym, frame_asym = _bad_interval_realign(
+            C, ref, deg, g2, frame_sym, frame_asym, fmask,
+            B_ref_eq, L_ref, ratio_s, fw, w, W, p0, mzp, sl,
+        )
+        frame_sym = frame_sym * fmask
+        frame_asym = frame_asym * fmask
 
     # L6 over 320 ms sliding windows (20 frames at 50% overlap), L2 over time
     def agg(fd):

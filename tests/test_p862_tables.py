@@ -36,12 +36,18 @@ def test_abs_thresholds_are_decibel_exact():
 def test_bin_grouping_covers_spectrum_exactly():
     assert T.NR_OF_HZ_BANDS_8K.sum() == 128   # bins 1..128 of 256-pt frame
     assert T.NR_OF_HZ_BANDS_16K.sum() == 256  # bins 1..256 of 512-pt frame
-    # 16 kHz table extends the 8 kHz table (shared bark bands, same
-    # 31.25 Hz bin width)
-    assert (T.NR_OF_HZ_BANDS_16K[:42] == T.NR_OF_HZ_BANDS_8K).all()
-    # derived 4-8 kHz tail is monotone and spans exactly the upper half
-    assert (np.diff(T.DERIVED_NR_TAIL_16K) >= 0).all()
-    assert T.DERIVED_NR_TAIL_16K.sum() == 128
+    # 16 kHz table extends the 8 kHz table below 4 kHz (shared bark
+    # bands, same 31.25 Hz bin width)
+    assert (T.NR_OF_HZ_BANDS_16K[:41] == T.NR_OF_HZ_BANDS_8K[:41]).all()
+    # the published tables diverge at band 41: the 8 kHz model truncates
+    # it at its 4 kHz Nyquist (bin 128), the 16 kHz model does not
+    assert T.NR_OF_HZ_BANDS_8K[41] == 128 - T.NR_OF_HZ_BANDS_8K[:41].sum()
+    assert T.NR_OF_HZ_BANDS_16K[41] == 12 and T.NR_OF_HZ_BANDS_8K[41] == 11
+    # bins per band grow with the bark widths except the final band,
+    # which the 8 kHz Nyquist clips below trend (20 bins vs ~26)
+    assert (np.diff(T.NR_TAIL_16K[:-1]) >= 0).all()
+    assert T.NR_TAIL_16K[-1] < T.NR_TAIL_16K[-2]
+    assert T.NR_TAIL_16K.sum() == 256 - 117  # bands 41..48 span bins 118..256
 
 
 def test_pow_dens_correction_is_mean_normalization():

@@ -201,3 +201,91 @@ def test_pesq_alignment_short_utterance():
         d = int(_align_delay(jnp.asarray(x[None]), jnp.asarray(y[None]),
                              max_delay=8000)[0])
         assert d == true, (true, d)
+
+
+def _burst_probe(rng, n=64000, fs=16000):
+    """Realignment probe. P.862's bad-frame threshold (30 of a 45 clip)
+    fires only on severe local distortion — misaligned SPEECH frames
+    stay well under it (similar spectral envelopes; verified empirically
+    up to 125 ms piecewise shifts). Loud broadband bursts against
+    silence is the canonical trigger (dropout/delay-jump degradations).
+    Layout: dense aperiodic bursts in the first 3/4 anchor the global
+    envelope alignment at 0; two sparse bursts in the last 1/4 are the
+    realignment subjects."""
+    x = np.zeros(n, np.float32)
+    anchor_end = n * 3 // 4
+    pos = 0
+    while pos < anchor_end - 2000:
+        on = int(rng.uniform(0.08, 0.15) * fs)
+        x[pos:pos + on] = rng.standard_normal(on) * 0.3
+        pos += on + int(rng.uniform(0.03, 0.1) * fs)
+    for pos in (anchor_end + 2500, anchor_end + 9000):
+        x[pos:pos + 2400] = rng.standard_normal(2400) * 0.35
+    return x, anchor_end
+
+
+def test_pesq_bad_interval_realign_recovers_delay_jump():
+    """P.862 bad-interval refinement (pesq_jax._bad_interval_realign):
+    a mid-utterance delay jump defeats any single global alignment — the
+    jumped region's frames score as bad intervals. realign=True
+    re-aligns those intervals by raw-signal cross-correlation and
+    re-scores them, recovering part of the lost MOS (partial by design:
+    the ITU rule reuses the first pass's gain/frequency compensations
+    and only accepts intervals whose disturbance drops)."""
+    rng = np.random.default_rng(21)
+    x, anchor_end = _burst_probe(rng)
+    y = (x + 0.001 * rng.standard_normal(x.shape)).astype(np.float32)
+    shift = 2000  # 125 ms jump, inside the ITU +/-2400-sample search
+    y_pw = y.copy()
+    y_pw[anchor_end + shift:] = y[anchor_end:-shift]
+
+    ref = jnp.asarray(np.stack([x, x]))
+    deg = jnp.asarray(np.stack([y, y_pw]))
+    base = np.asarray(pesq_batch(ref, deg, mode="nb", realign=False))
+    re_al = np.asarray(pesq_batch(ref, deg, mode="nb", realign=True))
+
+    # aligned pair: refinement is acceptance-gated — identical score
+    assert abs(re_al[0] - base[0]) < 0.05, (base, re_al)
+    # delay-jumped pair: realignment recovers a material chunk of the
+    # score the global-only alignment lost (measured +0.24 MOS)
+    assert re_al[1] > base[1] + 0.15, (base, re_al)
+    # and never overtakes the fully-aligned pair
+    assert re_al[1] <= re_al[0] + 0.05, re_al
+
+
+def test_pesq_realign_acceptance_never_hurts():
+    """The ITU acceptance rule keeps a realigned interval only when its
+    disturbance sum drops: across aligned AND misaligned pairs, realign
+    must never materially lower MOS."""
+    rng = np.random.default_rng(22)
+    rows_ref, rows_deg = [], []
+    for snr in (40.0, 15.0, 5.0):
+        x = _voiced(rng, 32000)
+        y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), snr)
+        rows_ref.append(x)
+        rows_deg.append(y)
+    ref = jnp.asarray(np.stack(rows_ref))
+    deg = jnp.asarray(np.stack(rows_deg))
+    base = np.asarray(pesq_batch(ref, deg, mode="nb", realign=False))
+    re_al = np.asarray(pesq_batch(ref, deg, mode="nb", realign=True))
+    assert (re_al >= base - 0.05).all(), (base, re_al)
+
+
+def test_pesq_host_api_realigns_external_pairs():
+    """pesq_mos_lqo (the reference evaluation.py calling convention)
+    enables the bad-interval refinement for external pairs."""
+    from speech_enhancement_by_s3prl_tpu.metrics.pesq import pesq_mos_lqo
+
+    rng = np.random.default_rng(23)
+    x = _voiced(rng, 32000)
+    y = _at_snr(x, rng.standard_normal(x.shape).astype(np.float32), 25.0)
+    half = len(y) // 2
+    y_pw = y.copy()
+    y_pw[half + 150:] = y[half:-150]
+    mos = pesq_mos_lqo(x, y_pw, 16000, "nb")
+    assert 1.0 <= mos <= 5.0
+    base = float(
+        pesq_batch(jnp.asarray(x)[None], jnp.asarray(y_pw)[None],
+                   16000, "nb", realign=False)[0]
+    )
+    assert mos >= base - 0.05, (mos, base)
