@@ -90,6 +90,9 @@ ALL_MODES = [
     # single-request serving latency (B=1), the serve.py fast path
     ("latency", {"BENCH_MODE": "latency", "SE_PALLAS_LSTM": "1",
                  "SE_PALLAS_HS_BF16": "1"}),
+    # end-to-end disk->decode->enhance->WAV-write, all stages overlapped
+    ("pipeline", {"BENCH_MODE": "pipeline", "SE_PALLAS_LSTM": "1",
+                  "SE_PALLAS_HS_BF16": "1"}),
 ]
 
 
@@ -237,6 +240,253 @@ def bench_loader():
         }))
 
 
+def bench_pipeline():
+    """End-to-end deployment throughput: disk -> decode -> batch ->
+    h2d -> jitted enhance -> d2h -> 16-bit WAV encode -> disk, every
+    stage overlapped (decode/encode thread pools, bounded queues,
+    double-buffered device leg). This is the number a `--test`-over-a-
+    corpus deployment actually gets (/root/reference/runner.py:521-622
+    is the equivalent workflow), where the per-stage modes measure
+    isolated ceilings.
+
+    Reported alongside the e2e RTF: per-stage busy fractions, decode and
+    encode RTFs, h2d/d2h bandwidth, the device-only RTF at this batch
+    size, the device idle fraction, and the feed math (host cores needed
+    to saturate one chip at the measured decode+encode rate). On this
+    relay-tunneled dev host the host<->device path is pathologically
+    slow (CLAUDE.md gotcha) — the bandwidth fields make that bottleneck
+    attributable instead of hiding it in one opaque number.
+    """
+    import queue
+    import tempfile
+    import threading
+
+    from speech_enhancement_by_s3prl_tpu.data.audio_io import (
+        load_audio,
+        write_wav,
+    )
+
+    import jax
+
+    from speech_enhancement_by_s3prl_tpu.utils.config import (
+        setup_compile_cache,
+    )
+
+    setup_compile_cache("/root/.jax_cache")
+    import jax.numpy as jnp
+
+    import __graft_entry__ as graft
+
+    enhance, (params, _, _) = graft.entry()
+
+    sr = 16000
+    utt_sec = int(os.environ.get("BENCH_UTT_SEC", "10"))
+    T = sr * utt_sec
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_files = int(os.environ.get("BENCH_PIPE_FILES", str(batch * 3)))
+    epochs = int(os.environ.get("BENCH_PIPE_EPOCHS", "2"))
+    workers = int(os.environ.get("BENCH_PIPE_WORKERS", "4"))
+
+    def enhance_first(params, wavs, lengths):
+        # serving output: channel-0 enhanced wav only
+        return enhance(params, wavs, lengths)
+
+    fn = None
+    if (
+        os.environ.get("SE_EXEC_CACHE", "1") == "1"
+        and jax.default_backend() != "cpu"
+    ):
+        from speech_enhancement_by_s3prl_tpu.models.lstm import DEFAULT_UNROLL
+        from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+            compile_cached,
+        )
+
+        env_key = ",".join(
+            f"{k}={os.environ.get(k, '')}"
+            for k in (
+                "BENCH_HEAD", "BENCH_DTYPE", "SE_PALLAS_LSTM",
+                "SE_PALLAS_FUSED", "SE_LSTM_XW_BF16", "SE_LSTM_XW_INT8",
+                "SE_PALLAS_TM", "SE_PALLAS_HS_BF16", "SE_PALLAS_MXU_BF16",
+                "SE_PALLAS_GATES_BF16",
+            )
+        ) + f",unroll={DEFAULT_UNROLL}"
+        fn = compile_cached(
+            enhance_first, params,
+            jnp.zeros((batch, 3, T), jnp.float32),
+            jnp.full((batch,), T, jnp.int32),
+            fn_key=f"bench_pipeline_b{batch}|{env_key}", verbose=True,
+        )
+    if fn is None:
+        fn = jax.jit(enhance_first)
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        indir = os.path.join(root, "in")
+        outdir = os.path.join(root, "out")
+        os.makedirs(indir), os.makedirs(outdir)
+        t = np.arange(T) / sr
+        for i in range(n_files):
+            f0 = rng.uniform(100, 300)
+            wav = (0.25 * np.sin(2 * np.pi * f0 * t)
+                   + 0.05 * rng.standard_normal(T)).astype(np.float32)
+            write_wav(os.path.join(indir, f"u{i:04d}.wav"), wav, sr)
+        files = sorted(
+            os.path.join(indir, f) for f in os.listdir(indir)
+        )
+
+        # -- isolated encode micro-bench (the WAV writer is production
+        # scope; FLAC is decode-only — native/seio.cpp) ----------------
+        enc_wav = (0.1 * rng.standard_normal(T)).astype(np.float32)
+        n_enc = 32
+        t0 = time.perf_counter()
+        for i in range(n_enc):
+            write_wav(os.path.join(outdir, f"enc{i}.wav"), enc_wav, sr)
+        encode_rtf = n_enc * utt_sec / (time.perf_counter() - t0)
+
+        # -- overlapped pipeline ---------------------------------------
+        lengths_dev = jnp.full((batch,), T, jnp.int32)
+        q_dec: queue.Queue = queue.Queue(maxsize=batch * 2)
+        q_batch: queue.Queue = queue.Queue(maxsize=2)
+        q_out: queue.Queue = queue.Queue(maxsize=2)
+        busy = {"decode": 0.0, "h2d": 0.0, "device": 0.0, "d2h": 0.0,
+                "encode": 0.0}
+        lock = threading.Lock()
+
+        def add(stage, dt):
+            with lock:
+                busy[stage] += dt
+
+        def decoder(paths):
+            for p in paths:
+                t0 = time.perf_counter()
+                wav, _ = load_audio(p, sr=sr)
+                wav = np.broadcast_to(
+                    wav[: T] if len(wav) >= T else np.pad(wav, (0, T - len(wav))),
+                    (3, T),
+                )  # channels: (noisy, clean, noise) — serving uses ch 0
+                add("decode", time.perf_counter() - t0)
+                q_dec.put(np.ascontiguousarray(wav, np.float32))
+
+        def batcher(total_utts):
+            got = 0
+            while got < total_utts:
+                rows = [q_dec.get() for _ in range(batch)]
+                got += batch
+                q_batch.put(np.stack(rows))
+            q_batch.put(None)
+
+        def device_leg():
+            while True:
+                host_batch = q_batch.get()
+                if host_batch is None:
+                    q_out.put(None)
+                    return
+                t0 = time.perf_counter()
+                dev = jax.device_put(host_batch)
+                # block_until_ready returns early on the axon tunnel
+                # (CLAUDE.md gotcha); a 4-byte fetch is the reliable
+                # transfer-complete sync (+~35 ms RTT, noise vs the
+                # multi-second relay transfer it bounds)
+                np.asarray(dev[0, 0, :1])
+                t1 = time.perf_counter()
+                out = fn(params, dev, lengths_dev)
+                q_out.put(out)  # dispatch is async; d2h in the encoder syncs
+                add("h2d", t1 - t0)
+
+        def encoder(counter):
+            idx = 0
+            while True:
+                out = q_out.get()
+                if out is None:
+                    return
+                t0 = time.perf_counter()
+                host = np.asarray(out)  # d2h fetch (also the device sync)
+                t1 = time.perf_counter()
+                for row in host:
+                    write_wav(
+                        os.path.join(outdir, f"o{idx:05d}.wav"), row, sr
+                    )
+                    idx += 1
+                add("d2h", t1 - t0)
+                add("encode", time.perf_counter() - t1)
+                counter["utts"] = idx
+
+        # warmup: one batch end to end (compile + page cache + pools)
+        warm = np.stack([
+            np.broadcast_to(load_audio(files[i], sr=sr)[0][:T], (3, T))
+            for i in range(batch)
+        ]).astype(np.float32)
+        np.asarray(fn(params, jax.device_put(warm), lengths_dev))
+
+        total_utts = (n_files * epochs // batch) * batch
+        paths = (files * epochs)[:total_utts]
+        for k in busy:
+            busy[k] = 0.0
+        counter: dict = {"utts": 0}
+        threads = [
+            threading.Thread(
+                target=decoder, args=(paths[w::workers],), daemon=True
+            )
+            for w in range(workers)
+        ] + [
+            threading.Thread(target=batcher, args=(total_utts,), daemon=True),
+            threading.Thread(target=device_leg, daemon=True),
+        ]
+        enc_thread = threading.Thread(
+            target=encoder, args=(counter,), daemon=True
+        )
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        enc_thread.start()
+        enc_thread.join()
+        wall = time.perf_counter() - t0
+        audio_s = counter["utts"] * utt_sec
+        e2e_rtf = audio_s / wall
+
+        # device-only RTF at this batch size: dispatch 3 iterations from
+        # an on-device input, sync once (the per-stage ceiling the e2e
+        # number is fed against)
+        dev_in = jax.device_put(warm)
+        out = fn(params, dev_in, lengths_dev)
+        float(jnp.asarray(out).sum())
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(params, dev_in, lengths_dev)
+        float(jnp.asarray(out).sum())
+        device_rtf = 3 * batch * utt_sec / (time.perf_counter() - t0)
+
+        bytes_in = total_utts * 3 * T * 4
+        bytes_out = total_utts * T * 4
+        # busy["decode"] sums per-worker seconds, so audio/busy is the
+        # per-core decode rate; host cores to keep one chip fed =
+        # device RTF x host-core-seconds per audio-second (decode+encode)
+        cores_needed = device_rtf * (
+            (busy["decode"] + busy["encode"]) / max(audio_s, 1e-9)
+        )
+        print(json.dumps({
+            "metric": "pipeline_e2e_rtf_per_chip",
+            "value": round(e2e_rtf, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(e2e_rtf / 10.0, 3),
+            "device_rtf": round(device_rtf, 2),
+            "device_idle_frac": round(
+                max(0.0, 1.0 - (audio_s / device_rtf) / wall), 4
+            ),
+            "decode_rtf_per_core": round(
+                audio_s / max(busy["decode"], 1e-9), 2
+            ),
+            "encode_rtf_per_core": round(encode_rtf, 2),
+            "h2d_gbps": round(bytes_in / max(busy["h2d"], 1e-9) / 1e9, 4),
+            "d2h_gbps": round(bytes_out / max(busy["d2h"], 1e-9) / 1e9, 4),
+            "busy_frac": {k: round(v / wall, 4) for k, v in busy.items()},
+            "cores_to_saturate_chip": round(cores_needed, 1),
+            "batch": batch,
+            "utts": total_utts,
+            "workers": workers,
+        }))
+
+
 def run_all():
     names = [
         m.strip()
@@ -312,6 +562,13 @@ def main():
         # host-only: must run before any jax/device setup below
         bench_loader()
         return
+    if os.environ.get("BENCH_CPU") == "1":
+        # CI/smoke: the ambient JAX_PLATFORMS=axon pin wins over env vars
+        # (sitecustomize imports jax at interpreter start — CLAUDE.md),
+        # so CPU must be forced through the config API
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # bf16 STORAGE of the LSTM input projections halves the dominant HBM
     # stream (+25% RTF at B=512; output fidelity vs f32 measured at
     # >100 dB SI-SDR — docs/PERF.md). Inference-bench default; the
@@ -325,6 +582,10 @@ def main():
     # the SE_SCORE_IMPL=vmap scan fallback.)
     if os.environ.get("BENCH_MODE") == "score":
         os.environ.setdefault("SE_LSTM_UNROLL", "8")
+
+    if os.environ.get("BENCH_MODE") == "pipeline":
+        bench_pipeline()
+        return
 
     import jax
 

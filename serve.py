@@ -367,7 +367,16 @@ def _finish_enhancer(run_batch, buckets, sample_rate: int, batch_round: int = 1)
 def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
                    mesh_n: int = 0, max_bucket_ms: int = 60000,
                    round_pow2: bool = True, upstream_ckpt: str = "",
-                   dckpt: str = ""):
+                   dckpt: str = "", fixed_rows: int = 0):
+    """``fixed_rows`` > 0 pads EVERY request group (solo ones included)
+    to exactly that row count: one compiled program per bucket regardless
+    of traffic, so responses are BIT-deterministic under load. XLA
+    compiles a different program per batch shape and reassociates
+    reductions, so across the default pow2 shapes {1,2,4,8,16} the same
+    request can differ by ~1 float32 ulp (measured 4.5e-8; at most 1
+    16-bit PCM step after quantization). The fixed-rows trade: every
+    request pays the full fixed_rows compute even uncontended — use it
+    where bit-reproducibility matters (response caching, audit replay)."""
     import jax
     import jax.numpy as jnp
 
@@ -403,6 +412,16 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
         batch_round = mesh_n
     else:
         _enhance = jax.jit(_enhance_raw)
+    if fixed_rows:
+        # every group rounds up to a multiple of fixed_rows; groups are
+        # capped at the micro-batcher's max_batch == fixed_rows, so all
+        # traffic lands on exactly one row count (multiple-of keeps the
+        # mesh divisibility requirement composable)
+        assert fixed_rows % batch_round == 0, (
+            f"fixed_rows {fixed_rows} must divide evenly over the "
+            f"{batch_round}-way mesh"
+        )
+        batch_round = fixed_rows
 
     # AOT executable cache (TPU only): serving processes skip cold-start
     # compilation per bucket by loading serialized executables. Single-
@@ -520,6 +539,13 @@ def main():
     ap.add_argument("--batch_window_ms", type=float, default=3.0,
                     help="how long the batcher waits for co-riders after "
                          "the first request arrives")
+    ap.add_argument("--fixed_batch", action="store_true",
+                    help="pad every request group to exactly --max_batch "
+                         "rows: one compiled program per bucket, so "
+                         "responses are bit-deterministic under any load "
+                         "(default pow2 grouping can differ by ~1 float32 "
+                         "ulp across batch shapes); costs the full "
+                         "--max_batch compute per group even uncontended")
     args = ap.parse_args()
 
     workers = getattr(args, "workers", 1)
@@ -559,11 +585,18 @@ def main():
                      "(pass them to scripts/export_model.py instead)")
         enhance = build_artifact_enhancer(artifact, args.sample_rate)
     else:
+        if getattr(args, "fixed_batch", False) and artifact:
+            ap.error("--fixed_batch needs --ckpt serving (artifacts bake "
+                     "their export-time shapes)")
         enhance = build_enhancer(
             args.ckpt, args.sample_rate,
             -25.0 if target_level is None else target_level, mesh_n=mesh_n,
             upstream_ckpt=getattr(args, "upstream_ckpt", ""),
             dckpt=getattr(args, "dckpt", ""),
+            fixed_rows=(
+                getattr(args, "max_batch", 16)
+                if getattr(args, "fixed_batch", False) else 0
+            ),
         )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))

@@ -306,3 +306,38 @@ def test_concurrent_requests_microbatched(batched_server):
         assert len(a) == len(wavs[i])
         # int16 quantization plus fp reduction-order differences
         np.testing.assert_allclose(a, b, atol=2e-4, err_msg=f"request {i}")
+
+
+def test_fixed_rows_bit_determinism(corpus, tmp_path_factory):
+    """--fixed_batch serving (build_enhancer fixed_rows): every group
+    pads to one row count, so a request's response is BIT-identical no
+    matter what co-riders it was coalesced with. The default pow2
+    grouping compiles a different program per batch shape, where XLA
+    reassociation injects ~1 float32 ulp (documented in serve.py) —
+    asserted here as the bounded counterpart."""
+    tmp = tmp_path_factory.mktemp("serve_fixed")
+    runner, config, args = make_runner(corpus, tmp)
+    runner.save_model()
+
+    sys.path.insert(0, REPO)
+    import serve
+
+    rng = np.random.default_rng(0)
+    probe = (0.1 * rng.standard_normal(16000)).astype(np.float32)
+    others = [
+        (0.1 * rng.standard_normal(16000)).astype(np.float32)
+        for _ in range(3)
+    ]
+
+    enh = serve.build_enhancer(str(tmp), 16000, -25.0, fixed_rows=4)
+    solo = enh.run_batch([probe])[0]
+    group = enh.run_batch([others[0], probe, others[1]])[1]
+    assert np.array_equal(solo, group), "fixed-rows mode must be bit-exact"
+
+    enh_default = serve.build_enhancer(str(tmp), 16000, -25.0)
+    solo_d = enh_default.run_batch([probe])[0]
+    group_d = enh_default.run_batch([others[0], probe, others[1]])[1]
+    assert np.abs(solo_d - group_d).max() < 1e-6, "pow2-shape drift bound"
+
+    with pytest.raises(AssertionError, match="divide evenly"):
+        serve.build_enhancer(str(tmp), 16000, -25.0, mesh_n=2, fixed_rows=5)
