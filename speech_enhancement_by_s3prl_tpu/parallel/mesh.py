@@ -49,8 +49,13 @@ def _param_spec(path: Tuple, leaf) -> P:
 
     - LSTM input/hidden kernels (4H, D) and their biases: shard the gate
       dim over 'model' (each shard holds a contiguous slice of all gates).
-    - Dense kernels (D_in, D_out): shard D_out over 'model'; final output
-      projections stay replicated (they're small: 201 wide).
+    - Transformer layers, the Megatron pairing: qkv and FFN-intermediate
+      kernels column-parallel (out dim + bias over 'model'); the
+      projections that consume them — attention/output and the FFN down
+      projection — row-parallel (in dim over 'model'), so each pair needs
+      ONE reduce instead of an all-gather between the matmuls (GSPMD
+      inserts it from these hints).
+    - Final output projections stay replicated (they're small: 201 wide).
     """
     names = [str(getattr(k, "key", k)) for k in path]
     flat = "/".join(names)
@@ -60,10 +65,13 @@ def _param_spec(path: Tuple, leaf) -> P:
     if "b_ih" in flat or "b_hh" in flat:
         return P("model")
     if flat.endswith("kernel") and len(shape) == 2:
-        # shard wide intermediate projections only (divisibility guard at
-        # mesh-application time)
+        # divisibility guard at mesh-application time
         if "intermediate" in flat or "qkv" in flat:
             return P(None, "model")
+        if "layer_" in flat and flat.endswith("output/kernel"):
+            return P("model", None)
+    if flat.endswith("bias") and ("qkv" in flat or "intermediate" in flat):
+        return P("model")
     return P(*([None] * len(shape)))
 
 
@@ -136,11 +144,44 @@ def shard_train_state(mesh: Mesh, state):
     return TrainState(params, opt_state, step), (p_sh, o_sh)
 
 
+def _mesh_safe_builder(builder):
+    """The Pallas LSTM recurrence is a Mosaic custom call GSPMD cannot
+    partition across a mesh (XLA treats opaque custom calls as
+    manually-replicated, defeating the sharding — and on the CPU dryrun
+    interpret mode silently hides that). Mesh steps therefore run the
+    scan recurrence: SAME parameter tree and math (kernel-vs-scan loss
+    trajectories match to ~1e-6, docs/PERF.md), announced loudly.
+    SE_PALLAS_MESH=1 keeps the kernel for future runtimes that register
+    a Mosaic partitioner — at the user's own risk."""
+    import os
+    import warnings
+
+    model = getattr(builder, "model", None)
+    if not getattr(model, "use_pallas", False):
+        return builder
+    if os.environ.get("SE_PALLAS_MESH", "0") == "1":
+        warnings.warn(
+            "[parallel] SE_PALLAS_MESH=1: keeping the Pallas LSTM kernel "
+            "under the mesh; GSPMD cannot partition Mosaic custom calls — "
+            "expect replication or a compile error on real multi-chip"
+        )
+        return builder
+    import dataclasses
+
+    warnings.warn(
+        "[parallel] mesh steps use the scan LSTM recurrence: the Pallas "
+        "kernel is a Mosaic custom call GSPMD cannot partition (same "
+        "params and math; SE_PALLAS_MESH=1 overrides)"
+    )
+    return dataclasses.replace(builder, model=model.clone(use_pallas=False))
+
+
 def make_parallel_train_step(builder, mesh: Mesh, state):
     """jit the builder's RAW train step once with mesh shardings: batch over
     'data', params/moments per tensor-parallel rules, frozen upstream
     replicated. GSPMD inserts the psum for gradients and any all-gathers
     for the model-sharded matmuls."""
+    builder = _mesh_safe_builder(builder)
     state, (p_sh, o_sh) = shard_train_state(mesh, state)
     step_sh = NamedSharding(mesh, P())
     state_sh = type(state)(p_sh, o_sh, step_sh)
@@ -176,6 +217,7 @@ def make_parallel_eval_step(builder, mesh: Mesh):
     each chip scores its batch shard on device and only (B,) score vectors
     leave. Caller must feed batches divisible by the device count (the
     Runner falls back to the single-device step otherwise)."""
+    builder = _mesh_safe_builder(builder)
     every = P(tuple(mesh.axis_names))
     batch_sh = NamedSharding(mesh, every)
     rep = NamedSharding(mesh, P())

@@ -129,3 +129,87 @@ def test_mesh_eval_with_metric_chunking(monkeypatch):
             chunk_step(state.params, wavs, lengths)["scores"]["sisdr"]
         )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pallas_model_scan_fallback_under_mesh(monkeypatch):
+    """Mesh builders swap a use_pallas model for its scan twin (Mosaic
+    custom calls are opaque to GSPMD partitioning) and say so loudly;
+    SE_PALLAS_MESH=1 keeps the kernel (also loudly)."""
+    import dataclasses
+    import warnings
+
+    from speech_enhancement_by_s3prl_tpu.parallel.mesh import (
+        _mesh_safe_builder,
+    )
+
+    base = tiny_builder()
+    model = build_head(
+        "Residual", input_size=80, output_size=201, hidden_size=16,
+        num_layers=1, bidirectional=True, cmvn=False, use_pallas=True,
+    )
+    builder = dataclasses.replace(base, model=model)
+
+    monkeypatch.delenv("SE_PALLAS_MESH", raising=False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        safe = _mesh_safe_builder(builder)
+    assert not safe.model.use_pallas
+    assert any("scan LSTM recurrence" in str(w.message) for w in caught)
+
+    monkeypatch.setenv("SE_PALLAS_MESH", "1")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        kept = _mesh_safe_builder(builder)
+    assert kept.model.use_pallas
+    assert any("SE_PALLAS_MESH=1" in str(w.message) for w in caught)
+
+    # scan models pass through untouched, silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _mesh_safe_builder(base) is base
+    assert not caught
+
+
+def test_transformer_tp_shardings_applied():
+    """The Megatron pairing lands on a real transformer tree: qkv and
+    FFN-intermediate kernels column-parallel, their consumers
+    row-parallel, final projections replicated."""
+    from speech_enhancement_by_s3prl_tpu.models.spec_head import Mockingjay
+    from speech_enhancement_by_s3prl_tpu.models.transformer import (
+        TransformerConfig,
+    )
+    from speech_enhancement_by_s3prl_tpu.parallel.mesh import param_shardings
+
+    cfg = TransformerConfig(
+        input_dim=16, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+    )
+    m = Mockingjay(output_size=33, config=cfg)
+    rng = jax.random.PRNGKey(0)
+    p = m.init(
+        {"params": rng, "dropout": rng},
+        features=jnp.zeros((2, 12, 16)), linears=jnp.zeros((2, 12, 33)),
+    )
+    mesh = make_mesh(8, model_parallel=2)
+    sh = param_shardings(mesh, p)
+    flat = {
+        "/".join(str(getattr(k, "key", k)) for k in path): s.spec
+        for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]
+    }
+    get = lambda frag: {k: v for k, v in flat.items() if frag in k}  # noqa
+
+    qkv_k = [v for k, v in flat.items() if k.endswith("attention/qkv/kernel")]
+    assert qkv_k and all(str(s) == "PartitionSpec(None, 'model')"
+                         for s in qkv_k), qkv_k
+    inter_k = [v for k, v in flat.items()
+               if k.endswith("intermediate/kernel")]
+    assert inter_k and all(str(s) == "PartitionSpec(None, 'model')"
+                           for s in inter_k)
+    row_k = [v for k, v in flat.items()
+             if "layer_" in k and k.endswith("output/kernel")]
+    assert row_k and all(str(s) == "PartitionSpec('model', None)"
+                         for s in row_k), row_k
+    # final head projection replicated
+    head_k = [v for k, v in flat.items()
+              if k.endswith("spechead/output/kernel")]
+    assert head_k and "model" not in str(head_k[0])
