@@ -67,15 +67,19 @@ ALL_MODES = [
                    "SE_PALLAS_HS_BF16": "1",
                    "BENCH_EVAL_METRICS": "sisdr,stoi,estoi,pesq_nb,pesq_wb"}),
     ("upstream", {"BENCH_MODE": "upstream"}),
-    # Dropout-live finetune champion config (docs/PERF.md): rbg hardware
-    # RNG (+10%), query-chunked attention whose per-chunk mask is the
-    # fused hash (no bits/probs tensors at all; chunk 256 sweep winner),
-    # and hash masks for the 13 hidden-state dropout sites too (+3%:
-    # 1,349x vs 1,310x at the same B=64; also unlocks B=128 without
-    # remat — 1,317x — by dropping the keep-mask residuals).
+    # Dropout-live finetune champion config (docs/PERF.md): the in-house
+    # Pallas flash-attention kernel with in-kernel hash dropout
+    # (SE_ATTN_IMPL=flash) — the round-4 trace showed the chunked path's
+    # HBM logits costing 63% of the step; flash deletes the stream and
+    # measures 2,106x vs 1,348x (chunked-hash) and 1,715x (chunked with
+    # bf16 logits) at the same B=64. B=128 measured 1,835x — B=64 stays.
+    # rbg hardware RNG (+10%) and hash masks for the 13 hidden-state
+    # dropout sites (+3%) carry over. Flash stays dropout-live-only: the
+    # rate=0 forward (upstream mode) measured 5,910x vs 8,881x for XLA's
+    # fused attention, so only this mode sets it.
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
-                    "SE_PRNG": "rbg", "SE_ATTN_DROPOUT_CHUNK": "256",
+                    "SE_PRNG": "rbg", "SE_ATTN_IMPL": "flash",
                     "SE_HIDDEN_DROPOUT_IMPL": "hash"}),
     # capture engine (one batched backward + outer-product einsums,
     # active/sampler.py impl='capture') instead of vmap(grad): runs the
@@ -868,7 +872,38 @@ def main():
         )
         rng = jax.random.PRNGKey(0)
         state = builder.init_state(rng, wavs[:2], lengths[:2])
-        step = builder.train_step_fn()
+        # AOT exec cache: SE_ATTN_IMPL=flash makes the step a Mosaic
+        # custom-call program the persistent HLO cache skips (~6 min
+        # recompile per process through the tunnel otherwise)
+        step = None
+        if (
+            os.environ.get("SE_EXEC_CACHE", "1") == "1"
+            and jax.default_backend() != "cpu"
+        ):
+            from speech_enhancement_by_s3prl_tpu.ops.pallas.exec_cache import (
+                compile_cached,
+            )
+
+            up0 = builder.upstream_params()
+            env_key = ",".join(
+                f"{k}={os.environ.get(k, '')}"
+                for k in (
+                    "BENCH_DTYPE", "BENCH_MJ_DROPOUT", "SE_ATTN_IMPL",
+                    "SE_ATTN_FLASH_BLOCK", "SE_ATTN_DROPOUT_CHUNK",
+                    "SE_HIDDEN_DROPOUT_IMPL", "SE_DROPOUT_IMPL", "SE_PRNG",
+                    "SE_TF_REMAT",
+                )
+            )
+            raw = compile_cached(
+                builder.train_step_raw(),
+                state, wavs, lengths, rng, up0,
+                fn_key=f"bench_mockingjay|{env_key}", donate_argnums=(0,),
+                verbose=True,
+            )
+            if raw is not None:
+                step = lambda s, w, l, r: raw(s, w, l, r, up0)  # noqa: E731
+        if step is None:
+            step = builder.train_step_fn()
         state, stats = step(state, wavs, lengths, rng)  # compile + warmup
         float(stats["loss"])
         # single end-of-run sync (see train mode: ~35 ms RTT per fetch)

@@ -201,14 +201,25 @@ def chunked_dropout_attention(q, k, v, bias, scale, rate, rng, chunk, dt):
     qc = jnp.moveaxis(q.reshape(B, nc, chunk, N, D), 1, 0)
     keep = 1.0 - rate
 
+    # SE_ATTN_LOGITS=dt stores each chunk's logits tensor in the compute
+    # dtype instead of f32 — at (B, N, chunk, T) it is the single biggest
+    # HBM stream of the dropout-live step (the device trace measured the
+    # 6 forward chunk loops at 211 ms of a 472 ms step), and bf16 halves
+    # it. Softmax still reduces in f32 inside the consuming fusion (the
+    # flash-kernel convention); only the stored tensor is rounded.
+    logits_dt = (
+        dt if os.environ.get("SE_ATTN_LOGITS", "f32") == "dt"
+        else jnp.float32
+    )
+
     def one(args):
         i, qi = args
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", qi, k, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", qi, k, preferred_element_type=logits_dt
         ) * scale
         if bias is not None:
             logits = logits + bias
-        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         if os.environ.get("SE_DROPOUT_IMPL", "hash") != "flax":
             # fused hash mask (salted per chunk): no bits tensor at all
             probs = hash_dropout(
@@ -281,12 +292,41 @@ class SelfAttention(nn.Module):
         # stream, and the bench/production configs turn it on.
         drop_chunk = int(os.environ.get("SE_ATTN_DROPOUT_CHUNK", "0"))
         chunkable = attn_mask is None or attn_mask.shape[-2] == 1
-        # (the jax.experimental Pallas TPU flash kernel was tried here for
-        # the no-dropout path and rejected: it requires block_q <= T —
-        # breaking the shape-inference dummy call and T % block padding
-        # without a bias-tensor mask — and attention is not this model's
-        # bottleneck at T=1001; docs/PERF.md round-3 ablations)
-        if not drops_attn and not naive:
+        # SE_ATTN_IMPL=flash: the in-house Pallas flash kernel
+        # (ops/pallas/attention_kernel.py) — the whole logits/probs
+        # pipeline stays in VMEM, with the salted-hash dropout mask
+        # computed in-kernel and re-derived in its backward. The round-4
+        # device trace showed the chunked path's HBM-materialized logits
+        # costing 63% of the dropout-live Mockingjay step; this deletes
+        # that stream entirely. Usable whenever the bias broadcasts over
+        # queries (true at every call site); mask stream differs from
+        # flax/chunked (same Bernoulli contract as hash_dropout).
+        # (The round-3 rejection note covered the STOCK jax flash kernel
+        # — no dropout, block_q>T failures; this kernel pads and masks
+        # internally and exists because dropout-live attention IS the
+        # measured bottleneck.)
+        use_flash = (
+            os.environ.get("SE_ATTN_IMPL") == "flash"
+            and chunkable
+            and self.seq_axis is None
+        )
+        if use_flash:
+            from ..ops.pallas.attention_kernel import flash_attention
+
+            kbias = (
+                None if attn_mask is None
+                else attn_mask.reshape(attn_mask.shape[0], -1)
+                .astype(jnp.float32)
+            )
+            ctx = flash_attention(
+                q, k, v, scale,
+                rate=(c.attention_probs_dropout_prob if drops_attn else 0.0),
+                rng=self.make_rng("dropout") if drops_attn else None,
+                kbias=kbias,
+                block_q=int(os.environ.get("SE_ATTN_FLASH_BLOCK", "256")),
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif not drops_attn and not naive:
             ctx = jax.nn.dot_product_attention(
                 q, k, v, bias=attn_mask, scale=scale
             )
