@@ -152,13 +152,24 @@ class LSTM(nn.Module):
     capture_layer: Any = None  # None | int | 'all'
 
     @nn.compact
-    def __call__(self, features, linears=None, **kwargs) -> Tuple[jnp.ndarray, Aux]:
-        hs = LSTMStack(
+    def __call__(self, features, linears=None, lstm_state=None,
+                 **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        stack = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
             capture_layer=self.capture_layer,
             name="lstm",
-        )(features)
+        )
+        # streaming continuation (ops/streaming.py StatefulStreamer):
+        # lstm_state threads per-layer (h, c) carries through the stack
+        # and the final carries ride back in aux["lstm_state"]
+        state_out = None
+        if lstm_state is not None:
+            hs, state_out = stack(
+                features, initial_state=lstm_state, return_state=True
+            )
+        else:
+            hs = stack(features)
         out_in = max(1, 2 * int(self.bidirectional)) * self.hidden_size
         log_predicted = nn.Dense(
             self.output_size,
@@ -173,7 +184,10 @@ class LSTM(nn.Module):
             self.sow("intermediates", "scaling_xs", hs)
             log_predicted = self.perturb("scaling_xw", log_predicted)
         log_predicted = activation(self.activation)(log_predicted)
-        return jnp.exp(log_predicted), {"log_predicted": log_predicted}
+        aux: Aux = {"log_predicted": log_predicted}
+        if state_out is not None:
+            aux["lstm_state"] = state_out
+        return jnp.exp(log_predicted), aux
 
 
 class Residual(nn.Module):
@@ -193,13 +207,21 @@ class Residual(nn.Module):
     capture_layer: Any = None  # None | int | 'all'
 
     @nn.compact
-    def __call__(self, features, linears, **kwargs) -> Tuple[jnp.ndarray, Aux]:
-        offset = LSTMStack(
+    def __call__(self, features, linears, lstm_state=None,
+                 **kwargs) -> Tuple[jnp.ndarray, Aux]:
+        stack = LSTMStack(
             self.hidden_size, self.num_layers, self.bidirectional,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
             capture_layer=self.capture_layer,
             name="lstm",
-        )(features)
+        )
+        state_out = None
+        if lstm_state is not None:
+            offset, state_out = stack(
+                features, initial_state=lstm_state, return_state=True
+            )
+        else:
+            offset = stack(features)
         if self.cmvn:
             offset = cmvn_t(offset, self.eps)
         dense_in = offset
@@ -213,7 +235,10 @@ class Residual(nn.Module):
             self.sow("intermediates", "scaling_xs", dense_in)
             offset = self.perturb("scaling_xw", offset)
         offset = activation(self.activation)(offset)
-        return linears * offset, {"offset": offset}
+        aux: Aux = {"offset": offset}
+        if state_out is not None:
+            aux["lstm_state"] = state_out
+        return linears * offset, aux
 
 
 def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.Module:

@@ -71,12 +71,17 @@ class LstmDirParams(nn.Module):
         )
 
 
-def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
+def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype,
+               init_state=None, return_final=False):
     """Run the gate recurrence over time.
 
     xw: (..., B, T, 4H) precomputed input projections (+biases), possibly
     with a leading direction axis; w_hh_t matching (..., H, 4H).
     Returns hidden states shaped like xw[..., :H].
+
+    ``init_state``: optional (h, c) carry to start from (streaming
+    continuation — ops/streaming.py); ``return_final`` additionally
+    returns the final (h, c).
     """
     H = hidden_size
     dt = compute_dtype
@@ -107,6 +112,8 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
     init = (
         jnp.zeros(lead + (B, H), jnp.float32),
         jnp.zeros(lead + (B, H), jnp.float32),
+    ) if init_state is None else (
+        init_state[0].astype(jnp.float32), init_state[1].astype(jnp.float32)
     )
     if mode == "int8":
         scale = jnp.abs(xw).max(axis=-1, keepdims=True) / 127.0 + 1e-12
@@ -116,8 +123,9 @@ def _lstm_scan(xw, w_hh_t, hidden_size, unroll, compute_dtype):
         scanned = jnp.moveaxis(xw.astype(jnp.bfloat16), -2, 0)
     else:
         scanned = jnp.moveaxis(xw, -2, 0)
-    _, hs = jax.lax.scan(step, init, scanned, unroll=unroll)
-    return jnp.moveaxis(hs, 0, -2)
+    final, hs = jax.lax.scan(step, init, scanned, unroll=unroll)
+    hs = jnp.moveaxis(hs, 0, -2)
+    return (hs, final) if return_final else hs
 
 
 class LstmCellScan(nn.Module):
@@ -129,7 +137,8 @@ class LstmCellScan(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, initial_state=None,
+                 return_state: bool = False):
         h4 = 4 * self.hidden_size
         p = dict(
             w_ih=self.param("w_ih", nn.initializers.xavier_uniform(),
@@ -141,15 +150,22 @@ class LstmCellScan(nn.Module):
         )
         dt = self.compute_dtype
         if self.reverse:
+            assert initial_state is None and not return_state, (
+                "state carrying is a forward-direction (streaming) feature"
+            )
             x = jnp.flip(x, axis=1)
         xw = (
             jnp.einsum("btd,hd->bth", x.astype(dt), p["w_ih"].astype(dt),
                        preferred_element_type=jnp.float32)
             + p["b_ih"] + p["b_hh"]
         )
-        hs = _lstm_scan(
-            xw, p["w_hh"].astype(dt).T, self.hidden_size, self.unroll, dt
+        out = _lstm_scan(
+            xw, p["w_hh"].astype(dt).T, self.hidden_size, self.unroll, dt,
+            init_state=initial_state, return_final=return_state,
         )
+        if return_state:
+            return out
+        hs = out
         if self.reverse:
             hs = jnp.flip(hs, axis=1)
         return hs
@@ -196,7 +212,8 @@ class LSTMStack(nn.Module):
         return self.pallas_interpret or jax.default_backend() == "cpu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, initial_state=None,
+                 return_state: bool = False):
         dt = self.compute_dtype
         H = self.hidden_size
         if self.capture_layer is not None and not self.bidirectional:
@@ -205,12 +222,26 @@ class LSTMStack(nn.Module):
                 "bidirectional layers only (the reference's active configs "
                 "score a bidirectional downstream)"
             )
+        if (initial_state is not None or return_state) and self.bidirectional:
+            raise ValueError(
+                "recurrent-state carrying (streaming) needs a "
+                "unidirectional stack — the backward direction would need "
+                "future audio"
+            )
+        final_states = []
         for layer in range(self.num_layers):
             if not self.bidirectional:
-                x = LstmCellScan(
+                cell = LstmCellScan(
                     H, reverse=False, unroll=self.unroll, compute_dtype=dt,
                     name=f"l{layer}_fwd",
-                )(x)
+                )
+                if initial_state is not None or return_state:
+                    st = (None if initial_state is None
+                          else initial_state[layer])
+                    x, fin = cell(x, initial_state=st, return_state=True)
+                    final_states.append(fin)
+                else:
+                    x = cell(x)
                 continue
 
             # fused bidirectional layer: one scan/kernel for both directions
@@ -304,4 +335,6 @@ class LSTMStack(nn.Module):
             if self.remat and not capture:
                 bidir_layer = jax.checkpoint(bidir_layer)
             x = bidir_layer(x)
+        if return_state:
+            return x, tuple(final_states)
         return x
