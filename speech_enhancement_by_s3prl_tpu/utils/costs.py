@@ -28,9 +28,21 @@ Two numbers per program:
 
 ``while_loop`` has no static trip count: its body is counted once and the
 program is flagged (``unbounded_loops``) so a caller can distrust the
-totals. ``cond`` takes the more expensive branch. Opaque custom calls
-(Pallas kernels) contribute zero and set ``opaque_calls`` — cost the
-scan-equivalent twin of the program instead (bench.py does this).
+totals. ``cond`` takes the more expensive branch.
+
+``pallas_call`` is costed, not skipped: the equation carries the kernel
+jaxpr and the grid mapping, so FLOPs are the kernel body walked once per
+grid step, and HBM bytes come from the block pipeline itself — each
+operand/result block moves block_bytes per grid step, EXCEPT that Mosaic
+elides the copy when a block's index is unchanged from the previous grid
+step (the "revisiting" optimization), which this model reproduces by
+taint-analyzing each index map for which grid dimensions it depends on
+(flash attention's full-row K/V blocks index as (b, n, 0, 0) over a
+(B, N, J) grid: fetched B*N times, not B*N*J). Kernel-internal dot
+operand traffic is VMEM, not HBM, and is excluded. Only calls the walker
+cannot see through (no kernel jaxpr, dynamic grid bounds) still set
+``opaque_calls`` — cost a scan-equivalent twin of those programs instead
+(bench.py does this for the Pallas-LSTM modes).
 """
 from __future__ import annotations
 
@@ -139,6 +151,80 @@ def _conv_cost(eqn, mult, var_mult, tot: _Totals) -> None:
     tot.bytes += _nbytes(out) * mult
 
 
+def _index_map_grid_deps(bm, n_grid: int):
+    """Which grid dimensions a block mapping's index map depends on, by
+    forward taint through its jaxpr (identity maps have no equations —
+    outvars ARE invars). None = analysis unavailable, be conservative."""
+    imj = getattr(bm, "index_map_jaxpr", None)
+    if imj is None:
+        return None
+    jx = imj.jaxpr if hasattr(imj, "jaxpr") else imj
+    taint: Dict[Any, frozenset] = {
+        v: frozenset([i]) for i, v in enumerate(jx.invars) if i < n_grid
+    }
+    for eqn in jx.eqns:
+        t = frozenset()
+        for a in eqn.invars:
+            if not isinstance(a, jcore.Literal):
+                t |= taint.get(a, frozenset())
+        for ov in eqn.outvars:
+            taint[ov] = t
+    deps = frozenset()
+    for ov in jx.outvars:
+        if not isinstance(ov, jcore.Literal):
+            deps |= taint.get(ov, frozenset())
+    return deps
+
+
+def _block_fetches(bm, sizes) -> float:
+    """HBM copies for one block mapping over a full grid sweep. The grid
+    runs lexicographically (last dim fastest); Mosaic skips the copy when
+    the block index equals the previous step's, so a map independent of a
+    contiguous innermost suffix of grid dims is fetched total/run times,
+    where run = product of that suffix's sizes."""
+    total = math.prod(sizes) if sizes else 1.0
+    deps = _index_map_grid_deps(bm, len(sizes))
+    if deps is None:
+        return total or 1.0
+    run = 1.0
+    for d in range(len(sizes) - 1, -1, -1):
+        if d in deps:
+            break
+        run *= sizes[d]
+    return max(total / max(run, 1.0), 1.0)
+
+
+def _pallas_cost(eqn, mult: float, tot: _Totals) -> bool:
+    """Cost a pallas_call from its kernel jaxpr + grid mapping; False if
+    the call is genuinely opaque (caller then flags it)."""
+    gm = eqn.params.get("grid_mapping")
+    inner = eqn.params.get("jaxpr")
+    if gm is None or inner is None:
+        return False
+    if getattr(gm, "num_dynamic_grid_bounds", 0):
+        return False
+    try:
+        sizes = [float(int(g)) for g in (getattr(gm, "grid", ()) or ())]
+    except (TypeError, ValueError):
+        return False
+    steps = math.prod(sizes) if sizes else 1.0
+    # FLOPs: the kernel body per grid step. Its dot/elementwise *bytes*
+    # are VMEM traffic, not HBM — keep flops/flags, drop sub.bytes.
+    sub = _Totals()
+    _walk(inner, mult * max(steps, 1.0), {}, sub)
+    tot.flops += sub.flops
+    tot.dot_flops += sub.dot_flops
+    tot.unbounded_loops += sub.unbounded_loops
+    tot.opaque_calls += sub.opaque_calls
+    # HBM bytes: the block pipeline — block_bytes per grid step per
+    # operand/result, minus Mosaic's consecutive-revisit elision.
+    for bm in getattr(gm, "block_mappings", ()):
+        aval = getattr(bm, "block_aval", None)
+        aval = getattr(aval, "inner_aval", aval)
+        tot.bytes += _nbytes(aval) * _block_fetches(bm, sizes) * mult
+    return True
+
+
 def _walk(jaxpr, mult: float, var_mult: Dict[Any, float], tot: _Totals) -> None:
     """Accumulate costs of ``jaxpr`` executed ``mult`` times; ``var_mult``
     maps vars to the multiplicity their *bytes* count at (loop-invariant
@@ -197,7 +283,10 @@ def _walk(jaxpr, mult: float, var_mult: Dict[Any, float], tot: _Totals) -> None:
                 for iv, ov in zip(inner.invars, eqn.invars)
             }
             _walk(inner, mult, ivm, tot)
-        elif name in ("pallas_call", "custom_call", "mosaic_call"):
+        elif name == "pallas_call":
+            if not _pallas_cost(eqn, mult, tot):
+                tot.opaque_calls += 1
+        elif name in ("custom_call", "mosaic_call"):
             tot.opaque_calls += 1
         elif name in _ELEMENTWISE:
             tot.flops += sum(_nelem(o.aval) for o in eqn.outvars) * mult

@@ -147,15 +147,88 @@ def test_flagship_enhance_flops_match_hand_count():
     assert c["opaque_calls"] == 0
 
 
-def test_pallas_program_flags_opaque(monkeypatch):
-    pl = pytest.importorskip("jax.experimental.pallas")
+def test_pallas_lstm_program_costed_matches_scan_twin():
+    """pallas_call is walked, not skipped: the Pallas-LSTM enhance program
+    reports no opaque calls and its matmul count agrees with the scan
+    twin's (same math; the kernel may pad, hence the tolerance)."""
+    pytest.importorskip("jax.experimental.pallas")
     import __graft_entry__ as graft
 
-    builder = graft._build(use_pallas=True)
     B, T = 2, 16000
     wavs = jnp.zeros((B, 3, T), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
-    state = builder.init_state(jax.random.PRNGKey(0), wavs, lengths)
-    enhance = graft.make_enhance(builder)
-    c = program_cost(enhance, state.params, wavs, lengths)
-    assert c["opaque_calls"] >= 1
+
+    costs = {}
+    for use_pallas in (False, True):
+        builder = graft._build(use_pallas=use_pallas)
+        state = builder.init_state(jax.random.PRNGKey(0), wavs, lengths)
+        enhance = graft.make_enhance(builder)
+        costs[use_pallas] = program_cost(enhance, state.params, wavs, lengths)
+
+    assert costs[True]["opaque_calls"] == 0
+    ratio = costs[True]["dot_flops"] / costs[False]["dot_flops"]
+    assert 0.9 < ratio < 1.3
+
+
+def _toy_blocked_matmul(x, y):
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, y_ref, o_ref):
+        o_ref[...] = jnp.dot(
+            x_ref[...], y_ref[...], preferred_element_type=jnp.float32
+        )
+
+    return pl.pallas_call(
+        kern,
+        grid=(4,),
+        in_specs=[
+            pl.BlockSpec((32, 64), lambda i: (i, 0)),
+            pl.BlockSpec((64, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((32, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((128, 128), jnp.float32),
+    )(x, y)
+
+
+def test_pallas_toy_kernel_flops_and_block_traffic_exact():
+    """FLOPs = kernel body x grid steps; bytes = the block pipeline with
+    Mosaic's consecutive-revisit elision: y's index map is grid-invariant
+    so its block moves ONCE, x/o move once per grid step."""
+    pytest.importorskip("jax.experimental.pallas")
+    x = jnp.zeros((128, 64))
+    y = jnp.zeros((64, 128))
+    c = program_cost(_toy_blocked_matmul, x, y)
+    assert c["opaque_calls"] == 0
+    assert c["dot_flops"] == 2 * 128 * 64 * 128
+    io = (128 * 64 + 64 * 128 + 128 * 128) * 4
+    blocks = 4 * (32 * 64 * 4) + 1 * (64 * 128 * 4) + 4 * (32 * 128 * 4)
+    assert c["hbm_bytes_model"] == io + blocks
+
+
+def test_flash_attention_costed_exactly():
+    """The flash kernel's dot count equals the closed form for both
+    directions (qk+pv forward; +5 same-size dots in the backward), so the
+    mockingjay MFU row is a real number, not a lower bound."""
+    pytest.importorskip("jax.experimental.pallas")
+    from speech_enhancement_by_s3prl_tpu.ops.pallas.attention_kernel import (
+        flash_attention,
+    )
+
+    B, T, N, D = 2, 300, 12, 64
+    q = jnp.zeros((B, T, N, D), jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    def att(q):
+        return flash_attention(q, q, q, scale=0.125, rate=0.1, rng=rng).sum()
+
+    bq = min(256, 128 * -(-T // 128))
+    tp = bq * -(-T // bq)
+    per_dot = 2.0 * B * N * tp * tp * D
+
+    fwd = program_cost(att, q)
+    assert fwd["opaque_calls"] == 0
+    assert fwd["dot_flops"] == 2 * per_dot  # qk + pv
+
+    bwd = program_cost(jax.grad(att), q)
+    assert bwd["opaque_calls"] == 0
+    assert bwd["dot_flops"] == 7 * per_dot  # fwd rerun (2) + bwd (5)
