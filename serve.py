@@ -2,9 +2,14 @@
 """Enhancement HTTP server — stdlib-only serving endpoint.
 
 POST a WAV (or FLAC) body to ``/enhance`` and receive the enhanced WAV.
-``GET /healthz`` reports model/device status. Requests are padded to
-static duration buckets so every request after warmup hits a cached XLA
-executable. Default is single-threaded (one TPU program at a time);
+POST raw float32 PCM to ``/stream`` (chunked) and receive enhanced PCM
+back incrementally at constant latency — live streaming via the
+StatefulStreamer, available when the served head is unidirectional,
+raw-feature, and CMVN-free (other configurations answer /stream with
+the reason). ``GET /healthz`` reports model/device status. Requests are
+padded to static duration buckets so every request after warmup hits a
+cached XLA executable. Default is single-threaded (one TPU program at a
+time);
 ``--workers N`` enables concurrent request handling with a micro-batching
 queue — concurrent requests are coalesced into ONE device batch (batching
 is the dominant throughput lever on TPU, docs/PERF.md), optionally sharded
@@ -308,6 +313,11 @@ def build_raw_enhancer(ckpt: str, sample_rate: int, target_level: float,
         masks = length_masks(lengths, wavs.shape[-1])
         return masked_normalize_decibel(wav, target_level, masks)
 
+    # live-streaming wiring (POST /stream): the StatefulStreamer needs the
+    # model/preprocessor objects, not just the jitted batch program
+    _enhance_raw.stream_ctx = {
+        "params": params, "model": model, "preprocessor": pre, "mode": mode,
+    }
     return params, _enhance_raw, buckets
 
 
@@ -456,7 +466,9 @@ def build_enhancer(ckpt: str, sample_rate: int, target_level: float,
         out = np.asarray(fn(params, jnp.asarray(batch), jnp.asarray(lens)))
         return [out[k, : len(w)] for k, w in enumerate(wavs)]
 
-    return _finish_enhancer(_run_batch, buckets, sample_rate, batch_round)
+    enhance = _finish_enhancer(_run_batch, buckets, sample_rate, batch_round)
+    enhance.stream_ctx = _enhance_raw.stream_ctx
+    return enhance
 
 
 def build_artifact_enhancer(artifact_dir: str, sample_rate: int,
@@ -539,6 +551,10 @@ def main():
     ap.add_argument("--batch_window_ms", type=float, default=3.0,
                     help="how long the batcher waits for co-riders after "
                          "the first request arrives")
+    ap.add_argument("--stream_frames", type=int, default=48,
+                    help="frames per model step on the /stream endpoint "
+                         "(latency = (2*delta) frames + one chunk; 48 "
+                         "frames = 0.48 s at the default 10 ms hop)")
     ap.add_argument("--fixed_batch", action="store_true",
                     help="pad every request group to exactly --max_batch "
                          "rows: one compiled program per bucket, so "
@@ -600,6 +616,35 @@ def main():
         )
     # warmup so the first request doesn't pay the compile
     enhance(np.zeros(args.sample_rate, np.float32))
+
+    # live streaming (POST /stream): constant-latency StatefulStreamer for
+    # unidirectional raw-feature heads; unavailable configurations keep
+    # serving /enhance and report WHY on /stream
+    stream_proto = None
+    stream_err = "artifact serving bakes full-utterance programs (serve a --ckpt)"
+    if not artifact:
+        from speech_enhancement_by_s3prl_tpu.ops.streaming import (
+            StatefulStreamer,
+        )
+
+        ctx = getattr(enhance, "stream_ctx", {})
+        try:
+            if ctx.get("mode") != "rawfeature":
+                raise ValueError(
+                    "stateful streaming serves from_rawfeature heads; this "
+                    f"checkpoint runs in '{ctx.get('mode')}' mode (upstream/"
+                    "waveform features need the whole utterance)"
+                )
+            stream_proto = StatefulStreamer(
+                ctx["params"], ctx["model"], ctx["preprocessor"],
+                frames_per_chunk=getattr(args, "stream_frames", 48),
+            )
+            # compile the per-chunk programs before the first connection
+            warm = stream_proto.clone()
+            warm.push(np.zeros(args.sample_rate, np.float32))
+            warm.flush()
+        except Exception as e:
+            stream_proto, stream_err = None, str(e)
     batcher = (
         MicroBatcher(
             enhance.run_batch,
@@ -615,6 +660,13 @@ def main():
     stats_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the /stream endpoint, both directions) is an
+        # HTTP/1.1 feature; every response sends Connection: close so the
+        # single-threaded default server never blocks on a kept-alive
+        # socket (send_header('Connection', 'close') also flips
+        # self.close_connection in the stdlib handler)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *a):
             pass
 
@@ -622,6 +674,7 @@ def main():
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(body)
 
@@ -637,7 +690,85 @@ def main():
             else:
                 self._reply(404, b"not found", "text/plain")
 
+        def _body_pieces(self, chunked, length):
+            """Yield request-body byte pieces as they arrive: decodes
+            Transfer-Encoding: chunked (the stdlib handler does not), or
+            blocks of a Content-Length body."""
+            if chunked:
+                while True:
+                    line = self.rfile.readline(66)
+                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                    if size == 0:
+                        while True:  # trailer section, up to the blank line
+                            t = self.rfile.readline(1026)
+                            if t in (b"\r\n", b"\n", b""):
+                                return
+                    data = self.rfile.read(size)
+                    self.rfile.read(2)  # chunk-terminating CRLF
+                    yield data
+            else:
+                left = length
+                while left > 0:
+                    piece = self.rfile.read(min(65536, left))
+                    if not piece:
+                        return
+                    left -= len(piece)
+                    yield piece
+
+        def _do_stream(self):
+            """POST /stream: raw float32-LE mono PCM at --sample_rate in,
+            the enhanced PCM out — both chunked, output emitted with the
+            streamer's fixed latency as input arrives. Output level is NOT
+            renormalized (the offline per-utterance dB renorm needs the
+            whole utterance)."""
+            if stream_proto is None:
+                self._reply(400, f"streaming unavailable: {stream_err}"
+                            .encode(), "text/plain")
+                return
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            chunked = "chunked" in te
+            n = int(self.headers.get("Content-Length") or 0)
+            if not chunked and n == 0:
+                self._reply(400, b"empty stream body (send chunked or "
+                            b"Content-Length float32 PCM)", "text/plain")
+                return
+            streamer = stream_proto.clone()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            t0 = time.time()
+            emitted = 0
+
+            def emit(samples):
+                nonlocal emitted
+                b = np.asarray(samples, "<f4").tobytes()
+                if b:
+                    self.wfile.write(
+                        f"{len(b):x}\r\n".encode() + b + b"\r\n"
+                    )
+                    emitted += len(b) // 4
+
+            rem = b""
+            for piece in self._body_pieces(chunked, n):
+                data = rem + piece
+                cut = len(data) & ~3  # float32-aligned prefix
+                rem = data[cut:]
+                if cut:
+                    emit(streamer.push(np.frombuffer(data[:cut], "<f4")))
+            emit(streamer.flush())
+            self.wfile.write(b"0\r\n\r\n")
+            with stats_lock:
+                stats["requests"] += 1
+                stats["audio_seconds"] += emitted / args.sample_rate
+                stats["wall_seconds"] += time.time() - t0
+
         def do_POST(self):
+            if self.path == "/stream":
+                self._do_stream()
+                return
             if self.path != "/enhance":
                 self._reply(404, b"not found", "text/plain")
                 return

@@ -194,11 +194,17 @@ class StatefulStreamer:
         self._model_step = jax.jit(model_step)
         self._params = params
         H = model.hidden_size
-        self._state = tuple(
+        self._zero_state = tuple(
             (jnp.zeros((1, H), jnp.float32), jnp.zeros((1, H), jnp.float32))
             for _ in range(model.num_layers)
         )
+        self._n_mels = n_mels
+        self.reset()
 
+    def reset(self) -> None:
+        """Rewind to the start-of-stream state (LSTM zeros, empty FIFOs);
+        the compiled analysis/model steps are untouched."""
+        self._state = self._zero_state
         # host stream state
         self._pending = np.zeros(0, np.float32)  # raw samples, pre-padding
         self._padded: Optional[np.ndarray] = None  # reflect-prefixed stream
@@ -206,16 +212,24 @@ class StatefulStreamer:
         self._n_raw = 0          # total raw samples pushed
         self._analyzed = 0       # frames analyzed so far
         self._consumed = 0       # frames consumed by the model so far
-        n_mels_ = n_mels
-        self._feat_fifo = np.zeros((0, n_mels_), np.float32)
-        self._pw_fifo = np.zeros((0, n_freq), np.float32)
-        self._pk_fifo = np.zeros((0, 2 * n_freq), np.float32)
+        self._feat_fifo = np.zeros((0, self._n_mels), np.float32)
+        self._pw_fifo = np.zeros((0, self.n_freq), np.float32)
+        self._pk_fifo = np.zeros((0, 2 * self.n_freq), np.float32)
         self._left_ctx: Optional[np.ndarray] = None  # ctx consumed rows
         # OLA accumulators aligned at padded coordinate _ola_base
         self._ola = np.zeros(0, np.float32)
         self._env = np.zeros(0, np.float32)
         self._ola_base = 0
         self._emitted = 0        # padded samples emitted so far
+
+    def clone(self) -> "StatefulStreamer":
+        """A fresh stream sharing this instance's params and COMPILED
+        analysis/model steps — what a server wants per connection: the
+        prototype pays the jit once, clones start instantly."""
+        new = object.__new__(type(self))
+        new.__dict__.update(self.__dict__)
+        new.reset()
+        return new
 
     # -- internals -------------------------------------------------------
 
