@@ -294,8 +294,10 @@ class LSTMStack(nn.Module):
                 ).astype(dt)  # (2, H, 4H)
                 if self.use_pallas:
                     from ..ops.pallas.lstm_kernel import (
+                        current_shard_context,
                         lstm_bidir_pallas,
                         lstm_bidir_tm,
+                        lstm_bidir_tm_sharded,
                     )
 
                     # honor the xw storage mode: bf16 halves the kernel's
@@ -312,11 +314,23 @@ class LSTMStack(nn.Module):
                         # SE_PALLAS_TM=0 for the batch-blocked variant.
                         # Differentiable (custom VJP with a reverse-time
                         # backward kernel), so this path also serves
-                        # training under SE_PALLAS_LSTM=1.
-                        hs = lstm_bidir_tm(
-                            xw_k, w_hh_t.astype(jnp.float32),
-                            self._interpret(),
-                        )
+                        # training under SE_PALLAS_LSTM=1. When tracing
+                        # happens inside a mesh step (parallel/mesh.py
+                        # installs the shard context around its jitted
+                        # calls), the kernel runs per device on its batch
+                        # shard via shard_map instead of falling back to
+                        # the scan.
+                        ctx = current_shard_context()
+                        if ctx is not None:
+                            hs = lstm_bidir_tm_sharded(
+                                xw_k, w_hh_t.astype(jnp.float32),
+                                ctx[0], ctx[1], self._interpret(),
+                            )
+                        else:
+                            hs = lstm_bidir_tm(
+                                xw_k, w_hh_t.astype(jnp.float32),
+                                self._interpret(),
+                            )
                     else:
                         hs = lstm_bidir_pallas(
                             xw_k, w_hh_t.astype(jnp.float32),

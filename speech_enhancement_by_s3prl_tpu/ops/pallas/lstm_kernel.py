@@ -498,6 +498,134 @@ def _lstm_bidir_tm_bwd(interpret, res, dout):
 lstm_bidir_tm.defvjp(_lstm_bidir_tm_fwd, _lstm_bidir_tm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Kernel under a device mesh (shard_map). GSPMD treats the Mosaic custom
+# call as opaque, so simply jitting the kernel with mesh shardings
+# replicates it (round-2 finding). Instead the mesh path calls the kernel
+# per device inside an explicit ``jax.shard_map``: the batch dimension is
+# sharded over the data axes, the (small) recurrent weights are passed
+# replicated, and the custom VJP wraps the shard_maps — forward runs the
+# residual-recording kernel on each device's batch shard, backward runs
+# the reverse-time kernel per device and sums the per-device dW_hh
+# partials (the gradient all-reduce, expressed as a stacked out-spec +
+# sum so no replication assumptions ride on ``check_vma=False``).
+#
+# Tensor-parallel gate sharding (mesh 'model' > 1) is NOT supported here:
+# a 'model'-sharded W_hh would have to be gathered into every kernel
+# instance, defeating the sharding — those runs keep the scan recurrence
+# (parallel/mesh.py documents the rule).
+#
+# The context plumbing lets models/lstm.py discover AT TRACE TIME that it
+# is being traced for a mesh step (parallel/mesh.py wraps each jitted
+# step call in ``shard_context``), without threading a Mesh through flax
+# module attributes.
+# ---------------------------------------------------------------------------
+
+_SHARD_CTX: list = []
+
+
+class shard_context:
+    """Context manager marking 'tracing happens for a mesh step': while
+    active, LSTMStack routes the time-major kernel through
+    :func:`lstm_bidir_tm_sharded` with this mesh/axes."""
+
+    def __init__(self, mesh, axes):
+        self.entry = (mesh, tuple(axes))
+
+    def __enter__(self):
+        _SHARD_CTX.append(self.entry)
+        return self
+
+    def __exit__(self, *exc):
+        _SHARD_CTX.pop()
+        return False
+
+
+def current_shard_context():
+    return _SHARD_CTX[-1] if _SHARD_CTX else None
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sharded_tm(mesh, axes, interpret):
+    """Build (and cache per (mesh, axes, interpret)) the custom-VJP
+    function running the time-major kernel per device under shard_map."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = axes if len(axes) > 1 else axes[0]
+    spec_bm = P(None, ax, None, None)   # batch-major (2, B, T, ...)
+    spec_tm = P(None, None, ax, None)   # time-major (T, 2, B, H) residuals
+    rep3 = P(None, None, None)
+    sm = functools.partial(jax.shard_map, mesh=mesh, check_vma=False)
+
+    prim_f = sm(
+        lambda a, w: lstm_bidir_pallas_tm(a, w, interpret=interpret),
+        in_specs=(spec_bm, rep3), out_specs=spec_bm,
+    )
+
+    def _fwd_body(a, w):
+        a_tm = jnp.moveaxis(a, 2, 0)
+        hs_tm, cs_tm = _tm_fwd_with_cell(a_tm, w, interpret)
+        return jnp.moveaxis(hs_tm, 0, 2).astype(jnp.float32), hs_tm, cs_tm
+
+    fwd_f = sm(_fwd_body, in_specs=(spec_bm, rep3),
+               out_specs=(spec_bm, spec_tm, spec_tm))
+
+    def _bwd_body(a, w, hs_tm, cs_tm, dout):
+        a_tm = jnp.moveaxis(a, 2, 0)
+        # _lstm_bidir_tm_bwd takes the batch-major cotangent and returns
+        # batch-major dxw; dW_hh comes back as this device's partial sum
+        dxw, dwhh = _lstm_bidir_tm_bwd(
+            interpret, (a_tm, w, hs_tm, cs_tm), dout)
+        return dxw, dwhh[None]
+
+    bwd_f = sm(_bwd_body,
+               in_specs=(spec_bm, rep3, spec_tm, spec_tm, spec_bm),
+               out_specs=(spec_bm, P(ax, None, None, None)))
+
+    @jax.custom_vjp
+    def f(a, w):
+        return prim_f(a, w)
+
+    def f_fwd(a, w):
+        w32 = w.astype(jnp.float32)
+        out, hs_tm, cs_tm = fwd_f(a, w32)
+        return out, (a, w32, hs_tm, cs_tm)
+
+    def f_bwd(res, dout):
+        a, w, hs_tm, cs_tm = res
+        dxw, dwhh_parts = bwd_f(a, w, hs_tm, cs_tm, dout)
+        # the cross-device gradient reduction: per-device partials ride a
+        # stacked leading axis; summing it is GSPMD's all-reduce
+        return dxw, dwhh_parts.sum(0)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def lstm_bidir_tm_sharded(xw, w_hh_t, mesh, axes, interpret=False):
+    """Time-major bidirectional recurrence, batch-sharded over ``axes``
+    of ``mesh``: each device runs the Pallas kernel on its own batch
+    shard. Differentiable (per-device reverse-time backward kernel +
+    dW_hh reduction). Numerics match :func:`lstm_bidir_tm` — forward
+    bit-exact, gradients to f32 epsilon (dW_hh partials reassociate).
+
+    Falls back to the unsharded kernel when the batch doesn't divide the
+    device count (GSPMD will then replicate the custom call — announced)."""
+    import warnings
+
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    if xw.shape[1] % n != 0:
+        warnings.warn(
+            f"[pallas] batch {xw.shape[1]} not divisible by {n} mesh "
+            f"devices: kernel runs unsharded (replicated by GSPMD)"
+        )
+        return lstm_bidir_tm(xw, w_hh_t, interpret)
+    return _make_sharded_tm(mesh, tuple(axes), bool(interpret))(
+        xw, w_hh_t.astype(jnp.float32))
+
+
 def lstm_bidir_pallas(
     xw: jnp.ndarray,      # (2, B, T, 4H) input projections (+biases)
     w_hh_t: jnp.ndarray,  # (2, H, 4H)

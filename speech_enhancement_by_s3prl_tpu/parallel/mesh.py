@@ -144,36 +144,55 @@ def shard_train_state(mesh: Mesh, state):
     return TrainState(params, opt_state, step), (p_sh, o_sh)
 
 
-def _mesh_safe_builder(builder):
-    """The Pallas LSTM recurrence is a Mosaic custom call GSPMD cannot
-    partition across a mesh (XLA treats opaque custom calls as
-    manually-replicated, defeating the sharding — and on the CPU dryrun
-    interpret mode silently hides that). Mesh steps therefore run the
-    scan recurrence: SAME parameter tree and math (kernel-vs-scan loss
-    trajectories match to ~1e-6, docs/PERF.md), announced loudly.
-    SE_PALLAS_MESH=1 keeps the kernel for future runtimes that register
-    a Mosaic partitioner — at the user's own risk."""
+def _mesh_safe_builder(builder, mesh=None, batch_axes=("data",)):
+    """Route the Pallas LSTM recurrence under the mesh.
+
+    GSPMD cannot partition a Mosaic custom call (it treats it as opaque
+    and replicates it, defeating the sharding — and on the CPU dryrun
+    interpret mode silently hides that). Since round 5 the mesh path
+    instead calls the kernel PER DEVICE inside an explicit ``shard_map``
+    (ops/pallas/lstm_kernel.py::lstm_bidir_tm_sharded): batch sharded
+    over ``batch_axes``, recurrent weights replicated, per-device dW_hh
+    partials reduced in the custom VJP. Returns ``(builder, ctx)`` where
+    ``ctx`` is the ``(mesh, axes)`` shard context to install around the
+    jitted step's trace, or ``None`` when the scan recurrence runs.
+
+    The scan fallback (same parameter tree and math; kernel-vs-scan loss
+    trajectories match to ~1e-6, docs/PERF.md) remains for:
+
+    - tensor parallelism (mesh 'model' > 1): the gate dimension of W_hh
+      is 'model'-sharded (``_param_spec``), and feeding a single-device
+      kernel would mean gathering it into every instance — the scan
+      lets GSPMD partition the gate matmuls instead;
+    - the batch-blocked ablation kernels (``SE_PALLAS_TM=0``) — only the
+      time-major kernel has the sharded VJP;
+    - ``SE_PALLAS_MESH=0`` (explicit opt-out, default on).
+    """
     import os
     import warnings
 
     model = getattr(builder, "model", None)
     if not getattr(model, "use_pallas", False):
-        return builder
-    if os.environ.get("SE_PALLAS_MESH", "0") == "1":
-        warnings.warn(
-            "[parallel] SE_PALLAS_MESH=1: keeping the Pallas LSTM kernel "
-            "under the mesh; GSPMD cannot partition Mosaic custom calls — "
-            "expect replication or a compile error on real multi-chip"
-        )
-        return builder
+        return builder, None
+    tm = os.environ.get("SE_PALLAS_TM", "1") == "1"
+    opted_out = os.environ.get("SE_PALLAS_MESH", "1") == "0"
+    tp = mesh is not None and mesh.shape.get("model", 1) > 1
+    if mesh is not None and tm and not (opted_out or tp):
+        return builder, (mesh, tuple(batch_axes))
     import dataclasses
 
-    warnings.warn(
-        "[parallel] mesh steps use the scan LSTM recurrence: the Pallas "
-        "kernel is a Mosaic custom call GSPMD cannot partition (same "
-        "params and math; SE_PALLAS_MESH=1 overrides)"
+    why = (
+        "mesh 'model' axis > 1 — W_hh gates are tensor-parallel and the "
+        "per-device kernel would need them gathered" if tp
+        else "SE_PALLAS_MESH=0" if opted_out
+        else "SE_PALLAS_TM=0 — only the time-major kernel is mesh-capable"
     )
-    return dataclasses.replace(builder, model=model.clone(use_pallas=False))
+    warnings.warn(
+        f"[parallel] mesh steps use the scan LSTM recurrence ({why}); "
+        "same params and math as the kernel"
+    )
+    return dataclasses.replace(
+        builder, model=model.clone(use_pallas=False)), None
 
 
 def make_parallel_train_step(builder, mesh: Mesh, state):
@@ -181,7 +200,7 @@ def make_parallel_train_step(builder, mesh: Mesh, state):
     'data', params/moments per tensor-parallel rules, frozen upstream
     replicated. GSPMD inserts the psum for gradients and any all-gathers
     for the model-sharded matmuls."""
-    builder = _mesh_safe_builder(builder)
+    builder, shard_ctx = _mesh_safe_builder(builder, mesh, ("data",))
     state, (p_sh, o_sh) = shard_train_state(mesh, state)
     step_sh = NamedSharding(mesh, P())
     state_sh = type(state)(p_sh, o_sh, step_sh)
@@ -203,7 +222,15 @@ def make_parallel_train_step(builder, mesh: Mesh, state):
     )
 
     def step(st, wavs, lengths, rng):
-        return jitted(st, wavs, lengths, rng, up)
+        if shard_ctx is None:
+            return jitted(st, wavs, lengths, rng, up)
+        # tracing (first call per shape) must see the shard context so
+        # LSTMStack routes the Pallas kernel through shard_map; entering
+        # it on cached-executable calls is a no-op global push/pop
+        from ..ops.pallas.lstm_kernel import shard_context as _sc
+
+        with _sc(*shard_ctx):
+            return jitted(st, wavs, lengths, rng, up)
 
     return step, state
 
@@ -217,7 +244,8 @@ def make_parallel_eval_step(builder, mesh: Mesh):
     each chip scores its batch shard on device and only (B,) score vectors
     leave. Caller must feed batches divisible by the device count (the
     Runner falls back to the single-device step otherwise)."""
-    builder = _mesh_safe_builder(builder)
+    builder, shard_ctx = _mesh_safe_builder(
+        builder, mesh, tuple(mesh.axis_names))
     every = P(tuple(mesh.axis_names))
     batch_sh = NamedSharding(mesh, every)
     rep = NamedSharding(mesh, P())
@@ -245,6 +273,11 @@ def make_parallel_eval_step(builder, mesh: Mesh):
     )
 
     def step(params, wavs, lengths):
-        return jitted(params, wavs, lengths, up)
+        if shard_ctx is None:
+            return jitted(params, wavs, lengths, up)
+        from ..ops.pallas.lstm_kernel import shard_context as _sc
+
+        with _sc(*shard_ctx):
+            return jitted(params, wavs, lengths, up)
 
     return step

@@ -131,10 +131,11 @@ def test_mesh_eval_with_metric_chunking(monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_pallas_model_scan_fallback_under_mesh(monkeypatch):
-    """Mesh builders swap a use_pallas model for its scan twin (Mosaic
-    custom calls are opaque to GSPMD partitioning) and say so loudly;
-    SE_PALLAS_MESH=1 keeps the kernel (also loudly)."""
+def test_pallas_mesh_routing(monkeypatch):
+    """Mesh builders keep a use_pallas model on a dp-only mesh (the
+    kernel runs per device under shard_map), swap to the scan twin under
+    tensor parallelism (W_hh gates are 'model'-sharded) or explicit
+    SE_PALLAS_MESH=0 opt-out — loudly in both fallback cases."""
     import dataclasses
     import warnings
 
@@ -148,26 +149,86 @@ def test_pallas_model_scan_fallback_under_mesh(monkeypatch):
         num_layers=1, bidirectional=True, cmvn=False, use_pallas=True,
     )
     builder = dataclasses.replace(base, model=model)
+    dp_mesh = make_mesh(8, model_parallel=1)
+    tp_mesh = make_mesh(8, model_parallel=2)
 
     monkeypatch.delenv("SE_PALLAS_MESH", raising=False)
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        safe = _mesh_safe_builder(builder)
-    assert not safe.model.use_pallas
-    assert any("scan LSTM recurrence" in str(w.message) for w in caught)
+    monkeypatch.delenv("SE_PALLAS_TM", raising=False)
 
-    monkeypatch.setenv("SE_PALLAS_MESH", "1")
+    # dp-only mesh: kernel kept, shard context returned
+    kept, ctx = _mesh_safe_builder(builder, dp_mesh, ("data",))
+    assert kept.model.use_pallas
+    assert ctx == (dp_mesh, ("data",))
+
+    # tensor parallelism: scan fallback, loud
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        kept = _mesh_safe_builder(builder)
-    assert kept.model.use_pallas
-    assert any("SE_PALLAS_MESH=1" in str(w.message) for w in caught)
+        safe, ctx = _mesh_safe_builder(builder, tp_mesh, ("data",))
+    assert not safe.model.use_pallas and ctx is None
+    assert any("scan LSTM recurrence" in str(w.message) for w in caught)
+    assert any("tensor-parallel" in str(w.message) for w in caught)
+
+    # explicit opt-out
+    monkeypatch.setenv("SE_PALLAS_MESH", "0")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        safe, ctx = _mesh_safe_builder(builder, dp_mesh, ("data",))
+    assert not safe.model.use_pallas and ctx is None
+    monkeypatch.delenv("SE_PALLAS_MESH", raising=False)
+
+    # batch-blocked ablation kernel: only time-major is mesh-capable
+    monkeypatch.setenv("SE_PALLAS_TM", "0")
+    safe, ctx = _mesh_safe_builder(builder, dp_mesh, ("data",))
+    assert not safe.model.use_pallas and ctx is None
+    monkeypatch.delenv("SE_PALLAS_TM", raising=False)
 
     # scan models pass through untouched, silently
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        assert _mesh_safe_builder(base) is base
-    assert not caught
+        passed, ctx = _mesh_safe_builder(base, dp_mesh, ("data",))
+    assert passed is base and ctx is None and not caught
+
+
+def test_pallas_kernel_under_mesh_matches_single_device(monkeypatch):
+    """VERDICT r4 #2: the time-major Pallas kernel runs per device under
+    shard_map on a dp mesh; a short training trajectory must match the
+    single-device kernel step (same kernel, batch merely partitioned)."""
+    import dataclasses
+
+    monkeypatch.delenv("SE_PALLAS_MESH", raising=False)
+    monkeypatch.delenv("SE_PALLAS_TM", raising=False)
+    base = tiny_builder()
+    model = build_head(
+        "Residual", input_size=80, output_size=201, hidden_size=16,
+        num_layers=1, bidirectional=True, cmvn=False, use_pallas=True,
+    )
+    builder = dataclasses.replace(base, model=model)
+    rng = jax.random.PRNGKey(0)
+    B, T = 8, 8000
+    wavs = jax.random.normal(rng, (B, 3, T), jnp.float32) * 0.1
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    state1 = builder.init_state(rng, wavs, lengths)
+    single = builder.train_step_fn()
+
+    mesh = make_mesh(8, model_parallel=1)
+    state_m = builder.init_state(rng, wavs, lengths)
+    step, state_m = make_parallel_train_step(builder, mesh, state_m)
+
+    losses1, losses2 = [], []
+    with mesh:
+        for i in range(3):
+            k = jax.random.fold_in(rng, i)
+            state1, stats1 = single(state1, wavs, lengths, k)
+            state_m, stats2 = step(state_m, wavs, lengths, k)
+            losses1.append(float(stats1["loss"]))
+            losses2.append(float(stats2["loss"]))
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-5)
+    for a, b in zip(
+        jax.tree.leaves(state1.params),
+        jax.tree.leaves(jax.device_get(state_m.params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
 def test_transformer_tp_shardings_applied():
