@@ -39,14 +39,48 @@ def _dense(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 
 def _layernorm(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """LayerNorm params under either naming the S3PRL lineage uses.
+
+    The legacy TRANSFORMER upstream's ``TransformerLayerNorm`` descends
+    from the earliest pytorch-pretrained-BERT, whose TF-style layernorm
+    registered ``gamma``/``beta`` parameters; later forks renamed them
+    ``weight``/``bias`` (modern ``nn.LayerNorm``). Real TERA/Mockingjay
+    ``states-*.ckpt`` files may carry either vocabulary, so both are
+    accepted — ambiguity or absence fails loudly."""
+    has_wb = f"{prefix}.weight" in sd
+    has_gb = f"{prefix}.gamma" in sd
+    if has_wb and has_gb:
+        raise ValueError(
+            f"both {prefix}.weight and {prefix}.gamma present — ambiguous "
+            "LayerNorm naming"
+        )
+    if has_gb:
+        return {
+            "scale": _np(sd[f"{prefix}.gamma"]),
+            "bias": _np(sd[f"{prefix}.beta"]),
+        }
+    if not has_wb:
+        raise KeyError(
+            f"no LayerNorm params at {prefix!r} (looked for .weight/.bias "
+            "and .gamma/.beta)"
+        )
     return {
         "scale": _np(sd[f"{prefix}.weight"]),
         "bias": _np(sd[f"{prefix}.bias"]),
     }
 
 
+def _strip_module_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop a uniform ``module.`` key prefix (a state dict saved from a
+    ``torch.nn.DataParallel`` wrapper, the S3PRL multi-GPU save path)."""
+    if sd and all(k.startswith("module.") for k in sd):
+        return {k[len("module."):]: v for k, v in sd.items()}
+    return sd
+
+
 def convert_transformer_state(sd: Dict[str, Any]) -> Dict[str, Any]:
     """S3PRL ``Transformer`` state dict -> TransformerEncoder params."""
+    sd = _strip_module_prefix(sd)
     params: Dict[str, Any] = {
         "spec_transform": _dense(sd, "input_representations.spec_transform"),
         "input_ln": _layernorm(sd, "input_representations.LayerNorm"),
@@ -89,6 +123,7 @@ def convert_transformer_state(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 def convert_spechead_state(sd: Dict[str, Any]) -> Dict[str, Any]:
     """S3PRL ``SpecHead`` state dict -> TransformerSpecPredictionHead params."""
+    sd = _strip_module_prefix(sd)
     return {
         "dense": _dense(sd, "dense"),
         "ln": _layernorm(sd, "LayerNorm"),
