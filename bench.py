@@ -260,6 +260,16 @@ def bench_pipeline():
     relay-tunneled dev host the host<->device path is pathologically
     slow (CLAUDE.md gotcha) — the bandwidth fields make that bottleneck
     attributable instead of hiding it in one opaque number.
+
+    Knobs (VERDICT r4 #5 — measured, not extrapolated, feed math):
+    - BENCH_PIPE_D2H=i16|f32 (default i16): i16 quantizes to 16-bit PCM
+      ON DEVICE (the WAV target depth — no fidelity loss vs the host
+      quantizer, which rounds identically) so the return stream ships
+      2 bytes/sample instead of 4 and the encode leg writes frames with
+      zero host-side conversion.
+    - BENCH_PIPE_SWEEP=1,2,4,8: re-run the overlapped pipeline at each
+      decode-worker count and report the measured scaling table next to
+      the single-run feed math.
     """
     import queue
     import tempfile
@@ -268,6 +278,7 @@ def bench_pipeline():
     from speech_enhancement_by_s3prl_tpu.data.audio_io import (
         load_audio,
         write_wav,
+        write_wav_pcm16,
     )
 
     import jax
@@ -290,10 +301,25 @@ def bench_pipeline():
     n_files = int(os.environ.get("BENCH_PIPE_FILES", str(batch * 3)))
     epochs = int(os.environ.get("BENCH_PIPE_EPOCHS", "2"))
     workers = int(os.environ.get("BENCH_PIPE_WORKERS", "4"))
+    d2h_dtype = os.environ.get("BENCH_PIPE_D2H", "i16")
+    assert d2h_dtype in ("i16", "f32"), d2h_dtype
+    sweep = [
+        int(w) for w in os.environ.get("BENCH_PIPE_SWEEP", "").split(",")
+        if w.strip()
+    ]
 
     def enhance_first(params, wavs, lengths):
         # serving output: channel-0 enhanced wav only
-        return enhance(params, wavs, lengths)
+        out = enhance(params, wavs, lengths)
+        if d2h_dtype == "i16":
+            # on-device 16-bit PCM quantization: same rint(clip(...))
+            # the host WAV writer applies, fused into the enhance
+            # program — the d2h stream halves
+            out = jnp.clip(
+                jnp.rint(out.astype(jnp.float32) * 32767.0),
+                -32768.0, 32767.0,
+            ).astype(jnp.int16)
+        return out
 
     fn = None
     if (
@@ -318,7 +344,8 @@ def bench_pipeline():
             enhance_first, params,
             jnp.zeros((batch, 3, T), jnp.float32),
             jnp.full((batch,), T, jnp.int32),
-            fn_key=f"bench_pipeline_b{batch}|{env_key}", verbose=True,
+            fn_key=f"bench_pipeline_b{batch}_d2h{d2h_dtype}|{env_key}",
+            verbose=True,
         )
     if fn is None:
         fn = jax.jit(enhance_first)
@@ -349,71 +376,102 @@ def bench_pipeline():
 
         # -- overlapped pipeline ---------------------------------------
         lengths_dev = jnp.full((batch,), T, jnp.int32)
-        q_dec: queue.Queue = queue.Queue(maxsize=batch * 2)
-        q_batch: queue.Queue = queue.Queue(maxsize=2)
-        q_out: queue.Queue = queue.Queue(maxsize=2)
-        busy = {"decode": 0.0, "h2d": 0.0, "device": 0.0, "d2h": 0.0,
-                "encode": 0.0}
-        lock = threading.Lock()
+        total_utts = (n_files * epochs // batch) * batch
 
-        def add(stage, dt):
-            with lock:
-                busy[stage] += dt
+        def run_once(n_workers):
+            """One overlapped end-to-end run at this decode-worker
+            count; returns (e2e_rtf, wall, audio_s, busy, utts)."""
+            q_dec: queue.Queue = queue.Queue(maxsize=batch * 2)
+            q_batch: queue.Queue = queue.Queue(maxsize=2)
+            q_out: queue.Queue = queue.Queue(maxsize=2)
+            busy = {"decode": 0.0, "h2d": 0.0, "device": 0.0, "d2h": 0.0,
+                    "encode": 0.0}
+            lock = threading.Lock()
 
-        def decoder(paths):
-            for p in paths:
-                t0 = time.perf_counter()
-                wav, _ = load_audio(p, sr=sr)
-                wav = np.broadcast_to(
-                    wav[: T] if len(wav) >= T else np.pad(wav, (0, T - len(wav))),
-                    (3, T),
-                )  # channels: (noisy, clean, noise) — serving uses ch 0
-                add("decode", time.perf_counter() - t0)
-                q_dec.put(np.ascontiguousarray(wav, np.float32))
+            def add(stage, dt):
+                with lock:
+                    busy[stage] += dt
 
-        def batcher(total_utts):
-            got = 0
-            while got < total_utts:
-                rows = [q_dec.get() for _ in range(batch)]
-                got += batch
-                q_batch.put(np.stack(rows))
-            q_batch.put(None)
+            def decoder(paths):
+                for p in paths:
+                    t0 = time.perf_counter()
+                    wav, _ = load_audio(p, sr=sr)
+                    wav = np.broadcast_to(
+                        wav[: T] if len(wav) >= T
+                        else np.pad(wav, (0, T - len(wav))),
+                        (3, T),
+                    )  # channels: (noisy, clean, noise) — serving uses ch 0
+                    add("decode", time.perf_counter() - t0)
+                    q_dec.put(np.ascontiguousarray(wav, np.float32))
 
-        def device_leg():
-            while True:
-                host_batch = q_batch.get()
-                if host_batch is None:
-                    q_out.put(None)
-                    return
-                t0 = time.perf_counter()
-                dev = jax.device_put(host_batch)
-                # block_until_ready returns early on the axon tunnel
-                # (CLAUDE.md gotcha); a 4-byte fetch is the reliable
-                # transfer-complete sync (+~35 ms RTT, noise vs the
-                # multi-second relay transfer it bounds)
-                np.asarray(dev[0, 0, :1])
-                t1 = time.perf_counter()
-                out = fn(params, dev, lengths_dev)
-                q_out.put(out)  # dispatch is async; d2h in the encoder syncs
-                add("h2d", t1 - t0)
+            def batcher():
+                got = 0
+                while got < total_utts:
+                    rows = [q_dec.get() for _ in range(batch)]
+                    got += batch
+                    q_batch.put(np.stack(rows))
+                q_batch.put(None)
 
-        def encoder(counter):
-            idx = 0
-            while True:
-                out = q_out.get()
-                if out is None:
-                    return
-                t0 = time.perf_counter()
-                host = np.asarray(out)  # d2h fetch (also the device sync)
-                t1 = time.perf_counter()
-                for row in host:
-                    write_wav(
-                        os.path.join(outdir, f"o{idx:05d}.wav"), row, sr
-                    )
-                    idx += 1
-                add("d2h", t1 - t0)
-                add("encode", time.perf_counter() - t1)
-                counter["utts"] = idx
+            def device_leg():
+                while True:
+                    host_batch = q_batch.get()
+                    if host_batch is None:
+                        q_out.put(None)
+                        return
+                    t0 = time.perf_counter()
+                    dev = jax.device_put(host_batch)
+                    # block_until_ready returns early on the axon tunnel
+                    # (CLAUDE.md gotcha); a 4-byte fetch is the reliable
+                    # transfer-complete sync (+~35 ms RTT, noise vs the
+                    # multi-second relay transfer it bounds)
+                    np.asarray(dev[0, 0, :1])
+                    t1 = time.perf_counter()
+                    out = fn(params, dev, lengths_dev)
+                    q_out.put(out)  # dispatch async; encoder's d2h syncs
+                    add("h2d", t1 - t0)
+
+            def encoder(counter):
+                idx = 0
+                while True:
+                    out = q_out.get()
+                    if out is None:
+                        return
+                    t0 = time.perf_counter()
+                    host = np.asarray(out)  # d2h fetch (+ device sync)
+                    t1 = time.perf_counter()
+                    for row in host:
+                        path = os.path.join(outdir, f"o{idx:05d}.wav")
+                        if d2h_dtype == "i16":
+                            write_wav_pcm16(path, row, sr)
+                        else:
+                            write_wav(path, row, sr)
+                        idx += 1
+                    add("d2h", t1 - t0)
+                    add("encode", time.perf_counter() - t1)
+                    counter["utts"] = idx
+
+            paths = (files * epochs)[:total_utts]
+            counter: dict = {"utts": 0}
+            threads = [
+                threading.Thread(
+                    target=decoder, args=(paths[w::n_workers],), daemon=True
+                )
+                for w in range(n_workers)
+            ] + [
+                threading.Thread(target=batcher, daemon=True),
+                threading.Thread(target=device_leg, daemon=True),
+            ]
+            enc_thread = threading.Thread(
+                target=encoder, args=(counter,), daemon=True
+            )
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            enc_thread.start()
+            enc_thread.join()
+            wall = time.perf_counter() - t0
+            audio_s = counter["utts"] * utt_sec
+            return audio_s / wall, wall, audio_s, busy, counter["utts"]
 
         # warmup: one batch end to end (compile + page cache + pools)
         warm = np.stack([
@@ -422,31 +480,21 @@ def bench_pipeline():
         ]).astype(np.float32)
         np.asarray(fn(params, jax.device_put(warm), lengths_dev))
 
-        total_utts = (n_files * epochs // batch) * batch
-        paths = (files * epochs)[:total_utts]
-        for k in busy:
-            busy[k] = 0.0
-        counter: dict = {"utts": 0}
-        threads = [
-            threading.Thread(
-                target=decoder, args=(paths[w::workers],), daemon=True
-            )
-            for w in range(workers)
-        ] + [
-            threading.Thread(target=batcher, args=(total_utts,), daemon=True),
-            threading.Thread(target=device_leg, daemon=True),
-        ]
-        enc_thread = threading.Thread(
-            target=encoder, args=(counter,), daemon=True
-        )
-        t0 = time.perf_counter()
-        for th in threads:
-            th.start()
-        enc_thread.start()
-        enc_thread.join()
-        wall = time.perf_counter() - t0
-        audio_s = counter["utts"] * utt_sec
-        e2e_rtf = audio_s / wall
+        worker_sweep = []
+        for w in sweep:
+            if w == workers:
+                continue
+            rtf_w, wall_w, audio_w, busy_w, _ = run_once(w)
+            worker_sweep.append({
+                "workers": w,
+                "e2e_rtf": round(rtf_w, 2),
+                "decode_rtf_per_core": round(
+                    audio_w / max(busy_w["decode"], 1e-9), 2
+                ),
+                "decode_busy_frac": round(busy_w["decode"] / wall_w, 4),
+            })
+
+        e2e_rtf, wall, audio_s, busy, n_done = run_once(workers)
 
         # device-only RTF at this batch size: dispatch 3 iterations from
         # an on-device input, sync once (the per-stage ceiling the e2e
@@ -461,7 +509,7 @@ def bench_pipeline():
         device_rtf = 3 * batch * utt_sec / (time.perf_counter() - t0)
 
         bytes_in = total_utts * 3 * T * 4
-        bytes_out = total_utts * T * 4
+        bytes_out = total_utts * T * (2 if d2h_dtype == "i16" else 4)
         # busy["decode"] sums per-worker seconds, so audio/busy is the
         # per-core decode rate; host cores to keep one chip fed =
         # device RTF x host-core-seconds per audio-second (decode+encode)
@@ -488,6 +536,8 @@ def bench_pipeline():
             "batch": batch,
             "utts": total_utts,
             "workers": workers,
+            "d2h_dtype": d2h_dtype,
+            **({"worker_sweep": worker_sweep} if worker_sweep else {}),
         }))
 
 

@@ -107,6 +107,22 @@ def write_wav(path: str, wav: np.ndarray, sample_rate: int):
         w.writeframes(pcm.T.tobytes())
 
 
+def write_wav_pcm16(path: str, pcm: np.ndarray, sample_rate: int):
+    """Write already-quantized int16 PCM as WAV — the zero-conversion
+    encode leg for pipelines that quantize on device (bench.py pipeline
+    mode's int16 d2h path: shipping i16 instead of f32 halves the
+    device->host return stream)."""
+    pcm = np.asarray(pcm)
+    assert pcm.dtype == np.int16, f"expected int16 PCM, got {pcm.dtype}"
+    if pcm.ndim == 1:
+        pcm = pcm[None, :]
+    with wave.open(path, "wb") as w:
+        w.setnchannels(pcm.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.T.astype("<i2").tobytes())
+
+
 def _flac_decoder():
     from . import flac  # lazy: optional native decoder
 

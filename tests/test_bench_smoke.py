@@ -132,3 +132,35 @@ def test_bench_loader_mode():
         assert payload["metric"] == "loader_audio_rtf_per_host"
         assert payload["value"] > 0
         assert payload["format"] == fmt
+
+
+def test_device_i16_quantizer_matches_host_wav_writer(tmp_path):
+    """The pipeline bench's on-device int16 PCM quantization
+    (BENCH_PIPE_D2H=i16) must produce byte-identical WAV files to the
+    host writer's float path — jnp.rint and np.rint both round
+    half-to-even, so shipping i16 over d2h loses nothing."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_enhancement_by_s3prl_tpu.data.audio_io import (
+        write_wav,
+        write_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    wav = np.clip(rng.normal(scale=0.4, size=16000), -1.2, 1.2).astype(
+        np.float32
+    )
+    # exercise half-integer rounding explicitly
+    wav[:8] = np.array([0.5, -0.5, 1.5, -1.5, 2.5, 0.0, 1.0, -1.0],
+                       np.float32) / 32767.0
+
+    dev_pcm = np.asarray(
+        jnp.clip(
+            jnp.rint(jnp.asarray(wav) * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+    )
+    a, b = str(tmp_path / "f32.wav"), str(tmp_path / "i16.wav")
+    write_wav(a, wav, 16000)
+    write_wav_pcm16(b, dev_pcm, 16000)
+    assert open(a, "rb").read() == open(b, "rb").read()
