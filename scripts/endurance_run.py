@@ -204,11 +204,24 @@ def analyze(args, expdir: str, rss_csv: str) -> dict:
         if os.path.isdir(os.path.join(expdir, d)):
             name_dir = os.path.join(expdir, d)
     ckpts = sorted(os.listdir(name_dir)) if name_dir else []
-    rotating = [c for c in ckpts if c.startswith("states-")]
-    best = [c for c in ckpts if c.startswith("best-")]
+    rotating = [c for c in ckpts if c.startswith("states-")
+                and os.path.isfile(os.path.join(name_dir, c))]
+    # per-split best ckpts live in SPLIT SUBDIRECTORIES (reference
+    # layout: expdir/<name>/<split>/states-*.ckpt, runner.save_states
+    # with the split name), not under a best- prefix
+    best = {
+        d: sorted(os.listdir(os.path.join(name_dir, d)))
+        for d in ckpts
+        if os.path.isdir(os.path.join(name_dir, d))
+    }
+    n_best = sum(len(v) for v in best.values())
     check("ckpt_rotation", 0 < len(rotating) <= args.max_keep,
-          f"{len(rotating)} rotating (max_keep={args.max_keep}), "
-          f"{len(best)} best: {best}")
+          f"{len(rotating)} rotating (max_keep={args.max_keep})")
+    check("save_best_per_split", n_best > 0 and all(
+        0 < len(v) <= args.max_keep for v in best.values()),
+        f"{n_best} best ckpts across {len(best)} splits "
+        f"(each capped at max_keep): "
+        + ", ".join(f"{d}={len(v)}" for d, v in sorted(best.items())))
 
     # RSS plateau: compare the median of the 2nd quarter (post-warmup)
     # to the median of the last quarter

@@ -165,10 +165,21 @@ def main():
                 state, stats = step(state, wavs, lengths, rng)
                 return stats["loss"]
         elif args.mode == "eval":
+            # BENCH_EVAL_METRICS mirrors bench.py's eval/eval_full split
+            # (e.g. "sisdr,stoi,estoi,pesq_nb,pesq_wb" traces eval_full)
+            metrics = tuple(
+                m.strip() for m in os.environ.get(
+                    "BENCH_EVAL_METRICS", "sisdr,stoi"
+                ).split(",") if m.strip()
+            )
+            import dataclasses as _dc
+
+            builder = _dc.replace(builder, eval_metrics=metrics)
             estep = builder.eval_step_fn(wav_out="first")
 
             def run_one():
-                return estep(state.params, wavs, lengths)["loss"]
+                out = estep(state.params, wavs, lengths)
+                return {"loss": out["loss"], **out["scores"]}
         elif args.mode == "upstream":
             from speech_enhancement_by_s3prl_tpu.models.transformer import (
                 TransformerConfig,
