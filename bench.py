@@ -69,17 +69,20 @@ ALL_MODES = [
     ("upstream", {"BENCH_MODE": "upstream"}),
     # Dropout-live finetune champion config (docs/PERF.md): the in-house
     # Pallas flash-attention kernel with in-kernel hash dropout
-    # (SE_ATTN_IMPL=flash) — the round-4 trace showed the chunked path's
-    # HBM logits costing 63% of the step; flash deletes the stream and
-    # measures 2,106x vs 1,348x (chunked-hash) and 1,715x (chunked with
-    # bf16 logits) at the same B=64. B=128 measured 1,835x — B=64 stays.
-    # rbg hardware RNG (+10%) and hash masks for the 13 hidden-state
-    # dropout sites (+3%) carry over. Flash stays dropout-live-only: the
-    # rate=0 forward (upstream mode) measured 5,910x vs 8,881x for XLA's
-    # fused attention, so only this mode sets it.
+    # (SE_ATTN_IMPL=flash). Round 4 (v1 kernel) took 1,348x (chunked-
+    # hash) to 2,106x; the round-5 LAYOUT-NATIVE rebuild (kernel consumes
+    # the (B, T, N*D) projection layout — no pad/transpose plumbing, bf16
+    # grads, O(T)-operand softmax passes) measures 2,766x at block 512
+    # (2,677x block 256; block 1024 exceeds scoped VMEM in the backward).
+    # B=128 measured 1,835x on v1 — B=64 stays. rbg hardware RNG (+10%)
+    # and hash masks for the 13 hidden-state dropout sites (+3%) carry
+    # over. Flash stays dropout-live-only: the rate=0 forward (upstream
+    # mode) keeps XLA's fused attention — see PERF.md round-5 rate=0
+    # sweep.
     ("mockingjay", {"BENCH_MODE": "mockingjay", "BENCH_DTYPE": "bf16",
                     "BENCH_BATCH": "64", "SE_PALLAS_LSTM": "0",
                     "SE_PRNG": "rbg", "SE_ATTN_IMPL": "flash",
+                    "SE_ATTN_FLASH_BLOCK": "512",
                     "SE_HIDDEN_DROPOUT_IMPL": "hash"}),
     # capture engine (one batched backward + outer-product einsums,
     # active/sampler.py impl='capture') instead of vmap(grad): runs the

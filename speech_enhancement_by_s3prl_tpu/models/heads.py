@@ -295,6 +295,18 @@ def build_head(model_name: str, input_size: int, output_size: int, **cfg) -> nn.
                 f"ckpt SpecHead width {head_width} != requested {output_size} "
                 "(reference model.py:103 assertion)"
             )
+    # the CLI args namespace carries `config` = the YAML *path*; never let
+    # that string shadow a model's `config` field (Mockingjay/SpecHead
+    # take a TransformerConfig there). A dict from the YAML model section
+    # is promoted to TransformerConfig.
+    if isinstance(cfg.get("config"), str):
+        cfg = dict(cfg)
+        cfg.pop("config")
+    elif isinstance(cfg.get("config"), dict):
+        from .transformer import TransformerConfig
+
+        cfg = dict(cfg)
+        cfg["config"] = TransformerConfig(**cfg["config"])
     fields = {f.name for f in cls.__dataclass_fields__.values()}
     fields -= {"name", "parent"}
     kwargs = {k: v for k, v in cfg.items() if k in fields}

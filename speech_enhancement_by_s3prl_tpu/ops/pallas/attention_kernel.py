@@ -2,37 +2,54 @@
 
 The round-4 device trace of the Mockingjay joint-finetune step (the
 reference's config-4 workload, dropout live) showed the query-chunked
-attention path costing 63% of the 472 ms step — 6 forward chunk loops at
-35 ms/layer + 6 backward at 14.5 ms — against ~3% of the step's FLOPs:
-each chunk materializes its (B, N, chunk, T) logits tensor in HBM and
-softmax/mask/AV re-traverse it, so the stage is bandwidth-bound at ~1%
-MXU efficiency (scripts/profile_step.py, docs/PERF.md round-4 trace).
+attention path costing 63% of the 472 ms step — each chunk materializes
+its (B, N, chunk, T) logits tensor in HBM and softmax/mask/AV re-traverse
+it (scripts/profile_step.py, docs/PERF.md round-4 trace). The first flash
+kernel (round 4) deleted that stream: the whole probability pipeline
+stays in VMEM and no (T, T)-shaped tensor ever exists in HBM in either
+direction.
 
-This kernel keeps the whole probability pipeline in VMEM:
+Round 5 rebuilt the kernel LAYOUT-NATIVE after a second trace showed the
+v1 calling convention itself costing ~48 ms of the 300 ms step: v1 wanted
+(B, N, T, D) arrays padded to T=1024, so every layer paid pad + transpose
+fusions on the way in and slice + transpose (+ f32->bf16 converts of
+dq/dk/dv) on the way out — pure HBM data movement exceeding the forward
+kernels' own time. This version consumes the projection layout directly
+and moves every per-(T,T)-element pass it can onto O(T) operands:
 
-- grid (B, N, T/block_q), executed sequentially per TPU core; each
-  program holds one query block plus the FULL key/value rows (T<=~4k at
-  D=64 fits VMEM comfortably — speech frames, not LLM contexts), so a
-  plain in-VMEM softmax replaces online-softmax bookkeeping;
+- q/k/v arrive as (B, T, N*D) — exactly what the fused QKV matmul
+  produces (models/transformer.py SelfAttention) up to a free reshape.
+  No transpose, no padding pass: T stays ragged and the kernel masks.
+- heads ride the lane axis in groups: each program owns P heads where
+  P*D = a multiple of 128 lanes (P=2 at the TERA geometry D=64), grid
+  (B, N/P, T/bq) with the query-block axis innermost so K/V blocks stay
+  VMEM-resident across it.
+- softmax scale is folded into the (bq, D) query block, normalization
+  (1/s) and the dropout keep-rescale into the (bq, D) output block —
+  three full (bq, T) VPU passes from v1 become O(bq*D) ones. The kernel
+  is VPU-bound (softmax exp + hash), not MXU-bound, so eliding (bq, T)
+  passes is worth more than matmul tuning.
 - attention-probability dropout is a salted integer-hash mask computed
   from (batch*head, query, key) indices INSIDE the kernel — the same
   no-bits-in-HBM contract as models/transformer.py::hash_dropout, a
-  different (equally valid) Bernoulli stream;
-- differentiable via a custom VJP whose backward is a second kernel
-  that recomputes probabilities per query block from q/k plus the saved
-  logsumexp and re-derives the dropout mask from the 8-byte salt: no
-  (T, T)-shaped tensor ever exists in HBM in either direction. dk/dv
-  accumulate across query blocks in the output refs (TPU pallas grids
-  run sequentially, the same property the LSTM kernel relies on);
+  different (equally valid) Bernoulli stream; bit-identical between
+  forward and the recomputing backward (same indices, same math).
+- the backward recomputes probabilities from q/k plus the saved
+  logsumexp, accumulates dk/dv across query blocks in f32 VMEM scratch,
+  and emits dq/dk/dv in the INPUT dtype — v1 wrote them f32 to HBM and
+  cast+transposed them afterwards (three 196 MB streams at the bench
+  shape); here the final cast happens in VMEM on flush.
 - an optional additive key bias (B, T) carries the padded-frame
-  attention mask (the (B, 1, 1, T) broadcast shape every call site
-  uses).
+  attention mask (the (B, 1, 1, T) broadcast every call site uses).
 
-The round-3 rejection of the stock `jax.experimental` flash kernel
-(no dropout support, block_q > T failures on shape-inference dummy
-calls, bias-tensor padding) does not apply here: this kernel pads and
-masks internally, accepts any T, and exists precisely because the
-dropout-live path IS the measured bottleneck.
+Ragged-T handling: keys/queries past ``t_valid`` are masked in-kernel
+(keys to -inf before softmax; invalid QUERY rows are forced to zero
+logits so every intermediate stays finite, their outputs land in the
+clipped region of the ragged last block, and the backward zeroes their
+do rows so dk/dv see no garbage).
+
+Measured (B=64, 10 s, bf16, Mockingjay joint finetune, docs/PERF.md):
+chunked-hash 1,348x -> v1 flash 2,106x -> layout-native 2,6xx x.
 """
 from __future__ import annotations
 
@@ -54,7 +71,9 @@ _PHI4 = 40503
 def _dropout_mask(bn, q0, bq, T, salt_ref, rate):
     """Bernoulli(1-rate) keep mask (bq, T) from a salted avalanche hash
     of (batch*head, global query index, key index). Bitwise-identical
-    between the forward and backward kernels (same inputs, same math)."""
+    between the forward and backward kernels (same inputs, same math),
+    and independent of the head-grouping/block geometry (it only sees
+    absolute head and position indices)."""
     salt = jax.lax.bitcast_convert_type(salt_ref[0], jnp.uint32)  # (2,)
     # program-id scalars arrive int32: cast BEFORE mixing — i32 + u32
     # promotes through int64 (clamped under disabled x64) and the
@@ -76,215 +95,272 @@ def _dropout_mask(bn, q0, bq, T, salt_ref, rate):
     return h < thresh
 
 
+def _heads_per_program(n_heads: int, head_dim: int, interpret: bool) -> int:
+    """Smallest P with N % P == 0 and (P*D) % 128 == 0 (TPU lane rule);
+    in interpret mode any grouping is legal, fall back to all heads."""
+    for p in range(1, n_heads + 1):
+        if n_heads % p == 0 and (p * head_dim) % 128 == 0:
+            return p
+    if interpret:
+        return n_heads
+    raise ValueError(
+        f"flash kernel needs head grouping with P*D % 128 == 0; "
+        f"got N={n_heads}, D={head_dim}"
+    )
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, salt_ref, kbias_ref, out_ref, lse_ref,
-                *, scale, rate, t_valid, n_heads):
-    bq = q_ref.shape[2]
-    T = k_ref.shape[2]
+                *, scale, rate, t_valid, n_heads, hpp, head_dim, bq):
+    Tk = k_ref.shape[1]
     dt = q_ref.dtype
-    b, n, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, n2, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    q = q_ref[0, 0]                       # (bq, D)
-    k = k_ref[0, 0]                       # (T, D)
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                             # (bq, T) f32, VMEM only
-    logits += kbias_ref[0, 0][None, :]
-    if t_valid < T:
-        kmask = jax.lax.broadcasted_iota(jnp.int32, (bq, T), 1) < t_valid
-        logits = jnp.where(kmask, logits, -jnp.inf)
+    kb = kbias_ref[0, 0][None, :]                      # (1, Tk) f32
+    ki_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, Tk), 1) < t_valid
+    qi_ok = (
+        j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, Tk), 0)
+    ) < t_valid
+    # rows past t_valid are unspecified memory (ragged blocks): the
+    # logits get masked below, but V must be zeroed explicitly — its
+    # garbage rows meet p's exact zeros in the AV matmul and 0*NaN=NaN
+    krow_ok = jax.lax.broadcasted_iota(jnp.int32, (Tk, 1), 0) < t_valid
+    vz = jnp.where(krow_ok, v_ref[0], 0)               # (Tk, P*D)
+    # scale folded into the (bq, P*D) query block: one O(bq*D) multiply
+    # replaces v1's O(bq*T) logits pass
+    qs = q_ref[0] * jnp.asarray(scale, dt)             # (bq, P*D)
+    keep = 1.0 - rate
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)               # (bq, T) f32
-    s = jnp.sum(p, axis=-1, keepdims=True)
-    lse_ref[0, 0, 0] = (m + jnp.log(s))[:, 0]
-    p = p / s
-    if rate > 0.0:
-        keepm = _dropout_mask(
-            b * n_heads + n, j * bq, bq, T, salt_ref, rate
-        )
-        p = jnp.where(keepm, p / (1.0 - rate), 0.0)
-    out_ref[0, 0] = jax.lax.dot_general(
-        p.astype(dt), v_ref[0, 0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dt)
+    for h in range(hpp):
+        lo = h * head_dim
+        q = qs[:, lo:lo + head_dim]                    # (bq, D)
+        k = k_ref[0][:, lo:lo + head_dim]              # (Tk, D)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (bq, Tk) f32
+        # invalid keys -> -inf (invisible); invalid QUERY rows -> all-0
+        # logits (finite softmax; their out rows fall in the ragged
+        # clipped region, the backward re-derives the same rows)
+        logits = jnp.where(qi_ok, jnp.where(ki_ok, logits + kb, -jnp.inf),
+                           0.0)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)                        # (bq, Tk) f32
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        lse_ref[0, 0, h, pl.ds(j * bq, bq)] = (m + jnp.log(s))[:, 0]
+        if rate > 0.0:
+            keepm = _dropout_mask(
+                b * n_heads + (n2 * hpp + h), j * bq, bq, Tk, salt_ref, rate
+            )
+            p = jnp.where(keepm, p, 0.0)
+        # normalization and the dropout keep-rescale ride the (bq, D)
+        # output block instead of two more (bq, Tk) passes
+        ctx = jax.lax.dot_general(
+            p.astype(dt), vz[:, lo:lo + head_dim],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / (s * keep))
+        out_ref[0, :, lo:lo + head_dim] = ctx.astype(dt)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, salt_ref,
-                kbias_ref, dq_ref, dk_ref, dv_ref,
-                *, scale, rate, t_valid, n_heads):
-    bq = q_ref.shape[2]
-    T = k_ref.shape[2]
+                kbias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale, rate, t_valid, n_heads, hpp, head_dim, bq, nj):
+    Tk = k_ref.shape[1]
     dt = q_ref.dtype
-    b, n, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b, n2, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(j == 0)
     def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0].astype(jnp.float32)
+    kb = kbias_ref[0, 0][None, :]
+    ki_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, Tk), 1) < t_valid
+    qrow = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+    q_row_ok = qrow < t_valid                          # (bq, 1)
+    qi_ok = jnp.broadcast_to(q_row_ok, (bq, Tk))
+    krow_ok = jax.lax.broadcasted_iota(jnp.int32, (Tk, 1), 0) < t_valid
+    keep = 1.0 - rate
+    # rows past t_valid in ANY ragged block are unspecified memory: the
+    # matmuls pair them with exact zeros and 0*NaN=NaN, so sanitize all
+    # five operand blocks on load (O(T*D) selects, not O(T^2)). do is
+    # also where the 1/keep dropout rescale folds in.
+    qs = jnp.where(q_row_ok, q_ref[0] * jnp.asarray(scale, dt), 0)
+    kz = jnp.where(krow_ok, k_ref[0], 0)
+    vz = jnp.where(krow_ok, v_ref[0], 0)
+    oz = jnp.where(q_row_ok, out_ref[0].astype(jnp.float32), 0.0)
+    do = jnp.where(q_row_ok, do_ref[0].astype(jnp.float32) / keep, 0.0)
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    logits += kbias_ref[0, 0][None, :]
-    if t_valid < T:
-        kmask = jax.lax.broadcasted_iota(jnp.int32, (bq, T), 1) < t_valid
-        logits = jnp.where(kmask, logits, -jnp.inf)
-    p = jnp.exp(logits - lse_ref[0, 0, 0][:, None])  # (bq, T); 0 at -inf
-
-    if rate > 0.0:
-        keep = 1.0 - rate
-        keepm = _dropout_mask(
-            b * n_heads + n, j * bq, bq, T, salt_ref, rate
+    for h in range(hpp):
+        lo = h * head_dim
+        q = qs[:, lo:lo + head_dim]                    # scale folded in
+        k = kz[:, lo:lo + head_dim]
+        v = vz[:, lo:lo + head_dim]
+        do_h = do[:, lo:lo + head_dim]                 # (bq, D) f32
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        p_drop = jnp.where(keepm, p / keep, 0.0)
-    else:
-        p_drop = p
+        logits = jnp.where(qi_ok, jnp.where(ki_ok, logits + kb, -jnp.inf),
+                           0.0)
+        lse = lse_ref[0, 0, h, pl.ds(j * bq, bq)][:, None]
+        p = jnp.exp(logits - lse)                      # normalized probs
 
-    # dv += P_drop^T do ; dp = do v^T (masked) ; ds = P (dp - rowsum(do*o))
-    dv_ref[0, 0] += jax.lax.dot_general(
-        p_drop.astype(dt), do.astype(dt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do.astype(dt), v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if rate > 0.0:
-        dp = jnp.where(keepm, dp / (1.0 - rate), 0.0)
-    drow = jnp.sum(do * out_ref[0, 0].astype(jnp.float32), axis=-1,
-                   keepdims=True)
-    ds = p * (dp - drow) * scale          # (bq, T) f32
-    ds_dt = ds.astype(dt)
-    dq_ref[0, 0] = jax.lax.dot_general(
-        ds_dt, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dk_ref[0, 0] += jax.lax.dot_general(
-        ds_dt, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+        if rate > 0.0:
+            keepm = _dropout_mask(
+                b * n_heads + (n2 * hpp + h), j * bq, bq, Tk, salt_ref, rate
+            )
+            pd = jnp.where(keepm, p, 0.0)
+        else:
+            pd = p
+
+        # dv += P_drop^T (do_raw/keep) ; dp̂ = masked (do_raw/keep) v^T ;
+        # ds = P (dp̂ - rowsum(do_raw·out)): do arrived pre-divided by
+        # keep, so rowsum(do_raw·out) = keep·rowsum(do·out). The softmax
+        # scale rides the (already scaled) q operand into dk and the
+        # scaled k operand into dq — no (bq, Tk)-sized scale pass.
+        dv_acc[:, lo:lo + head_dim] += jax.lax.dot_general(
+            pd.astype(dt), do_h.astype(dt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_h.astype(dt), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            dp = jnp.where(keepm, dp, 0.0)
+        o_h = oz[:, lo:lo + head_dim]
+        drow = keep * jnp.sum(do_h * o_h, axis=-1, keepdims=True)
+        ds = (p * (dp - drow)).astype(dt)
+        dq_ref[0, :, lo:lo + head_dim] = jax.lax.dot_general(
+            ds, k * jnp.asarray(scale, dt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        dk_acc[:, lo:lo + head_dim] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nj - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dt)
+        dv_ref[0] = dv_acc[...].astype(dt)
 
 
-def _pad_t(x, tp):
-    pad = tp - x.shape[2]
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    return x
+def _geometry(T: int, block_q: int):
+    """Tk: key rows per block, 128-aligned (lane rule for the kbias
+    block and sublane rule for k/v); bq <= Tk, 128-aligned; nj covers
+    Tk so the lse lane writes never leave the block."""
+    Tk = 128 * -(-T // 128)
+    bq = max(128, min(block_q, Tk))
+    bq -= bq % 128
+    nj = -(-Tk // bq)
+    return bq, Tk, nj
 
 
-def _geometry(T, block_q):
-    """One padded length for the query AND key axes: bq divides it and it
-    is lane/sublane friendly; keys past t_valid=T are masked in-kernel."""
-    bq = min(block_q, 128 * -(-T // 128))
-    tp = bq * -(-T // bq)
-    return bq, tp
-
-
-def _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q, interpret):
-    """(B, N, T, D) x3 -> out (B, N, T, D), lse (B, N, Tp) f32."""
-    B, N, T, D = q.shape
-    bq, Tp = _geometry(T, block_q)
-    qp, kp, vp = _pad_t(q, Tp), _pad_t(k, Tp), _pad_t(v, Tp)
-    kbp = jnp.pad(kbias, ((0, 0), (0, Tp - T)))[:, None]
-    grid = (B, N, Tp // bq)
+def _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
+              n_heads, head_dim):
+    """(B, T, N*D) x3 -> out (B, T, N*D), lse (B, N/P, P, nj*bq) f32."""
+    B, T, H = q.shape
+    bq, Tk, nj = _geometry(T, block_q)
+    P = _heads_per_program(n_heads, head_dim, interpret)
+    PD = P * head_dim
+    kbp = jnp.pad(kbias, ((0, 0), (0, Tk - T)))[:, None]   # (B, 1, Tk)
+    grid = (B, n_heads // P, nj)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, rate=rate, t_valid=T, n_heads=N
+        _fwd_kernel, scale=scale, rate=rate, t_valid=T, n_heads=n_heads,
+        hpp=P, head_dim=head_dim, bq=bq,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
-            # (1, 1, Tp) / (1, 1, 1, bq) blocks: Mosaic requires the
-            # last two block dims divisible by (8, 128) or equal to the
-            # array dims — met here by making the second-minor dim 1
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
             pl.BlockSpec((1, 2), lambda b, n, j: (0, 0)),
-            pl.BlockSpec((1, 1, Tp), lambda b, n, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tk), lambda b, n, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, 1, bq), lambda b, n, j: (b, n, 0, j)),
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, 1, P, nj * bq), lambda b, n, j: (b, n, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, N, 1, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H), q.dtype),
+            jax.ShapeDtypeStruct((B, n_heads // P, P, nj * bq),
+                                 jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, salt_f, kbp)
-    return out[:, :, :T], lse
+    )(q, k, v, salt_f, kbp)
+    return out, lse
 
 
 def _bwd_impl(q, k, v, salt_f, kbias, out, lse, do, scale, rate, block_q,
-              interpret):
-    B, N, T, D = q.shape
-    bq, Tp = _geometry(T, block_q)
-    qp, kp, vp = _pad_t(q, Tp), _pad_t(k, Tp), _pad_t(v, Tp)
-    dop, outp = _pad_t(do, Tp), _pad_t(out, Tp)
-    kbp = jnp.pad(kbias, ((0, 0), (0, Tp - T)))[:, None]
-    grid = (B, N, Tp // bq)
+              interpret, n_heads, head_dim):
+    B, T, H = q.shape
+    bq, Tk, nj = _geometry(T, block_q)
+    P = _heads_per_program(n_heads, head_dim, interpret)
+    PD = P * head_dim
+    kbp = jnp.pad(kbias, ((0, 0), (0, Tk - T)))[:, None]
+    grid = (B, n_heads // P, nj)
     kernel = functools.partial(
-        _bwd_kernel, scale=scale, rate=rate, t_valid=T, n_heads=N
+        _bwd_kernel, scale=scale, rate=rate, t_valid=T, n_heads=n_heads,
+        hpp=P, head_dim=head_dim, bq=bq, nj=nj,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, 1, bq), lambda b, n, j: (b, n, 0, j)),
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, 1, P, nj * bq), lambda b, n, j: (b, n, 0, 0)),
             pl.BlockSpec((1, 2), lambda b, n, j: (0, 0)),
-            pl.BlockSpec((1, 1, Tp), lambda b, n, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, Tk), lambda b, n, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, n, j: (b, n, j, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, D), lambda b, n, j: (b, n, 0, 0)),
+            pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
+            pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, Tp, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, Tp, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, Tp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H), q.dtype),
+            jax.ShapeDtypeStruct((B, T, H), k.dtype),
+            jax.ShapeDtypeStruct((B, T, H), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Tk, PD), jnp.float32),
+            pltpu.VMEM((Tk, PD), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, outp, lse, salt_f, kbp)
-    return dq[:, :, :T], dk[:, :, :T], dv[:, :, :T]
+    )(q, k, v, do, out, lse, salt_f, kbp)
+    return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_vjp(q, k, v, salt_f, kbias, scale, rate, block_q, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_vjp(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
+               n_heads, head_dim):
     out, _ = _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q,
-                       interpret)
+                       interpret, n_heads, head_dim)
     return out
 
 
-def _flash_fwd(q, k, v, salt_f, kbias, scale, rate, block_q, interpret):
+def _flash_fwd(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
+               n_heads, head_dim):
     out, lse = _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q,
-                         interpret)
+                         interpret, n_heads, head_dim)
     return out, (q, k, v, salt_f, kbias, out, lse)
 
 
-def _flash_bwd(scale, rate, block_q, interpret, res, g):
+def _flash_bwd(scale, rate, block_q, interpret, n_heads, head_dim, res, g):
     q, k, v, salt_f, kbias, out, lse = res
     dq, dk, dv = _bwd_impl(
-        q, k, v, salt_f, kbias, out, lse, g, scale, rate, block_q,
-        interpret,
+        q, k, v, salt_f, kbias, out, lse, g.astype(q.dtype), scale, rate,
+        block_q, interpret, n_heads, head_dim,
     )
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-        jnp.zeros_like(salt_f), jnp.zeros_like(kbias),
-    )
+    return (dq, dk, dv, jnp.zeros_like(salt_f), jnp.zeros_like(kbias))
 
 
 _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
@@ -301,6 +377,10 @@ def flash_attention(
 ):
     """Flash attention over (B, T, N, D) tensors -> (B, T, N, D).
 
+    The (B, T, N, D) -> (B, T, N*D) fold is a free reshape (contiguous
+    trailing axes), so the kernel consumes the QKV projection's memory
+    layout directly — no transpose or pad ever reaches HBM.
+
     rate > 0 applies salted-hash dropout to the attention probabilities
     (rng required); the mask is recomputed in the backward from the
     8-byte salt. ``kbias``: optional additive (B, T) f32 key bias (the
@@ -314,12 +394,10 @@ def flash_attention(
     salt_f = jax.lax.bitcast_convert_type(salt, jnp.float32)
     if kbias is None:
         kbias = jnp.zeros((B, T), jnp.float32)
-    # kernel layout: (B, N, T, D)
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
     out = _flash_vjp(
-        qt, kt, vt, salt_f, kbias.astype(jnp.float32),
+        q.reshape(B, T, N * D), k.reshape(B, T, N * D),
+        v.reshape(B, T, N * D), salt_f, kbias.astype(jnp.float32),
         float(scale), float(rate), int(block_q), bool(interpret),
+        int(N), int(D),
     )
-    return jnp.swapaxes(out, 1, 2)
+    return out.reshape(B, T, N, D)

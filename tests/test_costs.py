@@ -221,9 +221,13 @@ def test_flash_attention_costed_exactly():
     def att(q):
         return flash_attention(q, q, q, scale=0.125, rate=0.1, rng=rng).sum()
 
-    bq = min(256, 128 * -(-T // 128))
-    tp = bq * -(-T // bq)
-    per_dot = 2.0 * B * N * tp * tp * D
+    # v2 layout-native geometry (ops/pallas/attention_kernel.py
+    # _geometry): keys padded to Tk=128-multiple, queries swept in nj
+    # blocks of bq — the query side covers nj*bq rows
+    tk = 128 * -(-T // 128)
+    bq = max(128, min(256, tk))
+    nj = -(-tk // bq)
+    per_dot = 2.0 * B * N * (nj * bq) * tk * D
 
     fwd = program_cost(att, q)
     assert fwd["opaque_calls"] == 0
