@@ -170,8 +170,33 @@ def batch_scores_unchunked(
     lengths: jnp.ndarray,
     sample_rate: int = 16000,
 ) -> Dict[str, jnp.ndarray]:
+    # when a metric FAMILY is fully requested, score it through its
+    # shared-front-end kernel: stoi+estoi differ only in the segment
+    # correlation, pesq_nb+pesq_wb only in receive gain + MOS mapping,
+    # and XLA does not CSE the duplicated front-ends across separate
+    # calls (the alignment lax.while in particular is never merged).
+    # Scores are bitwise-identical to the per-metric calls.
     out = {}
+    if "stoi" in names and "estoi" in names:
+        from .stoi import stoi_estoi_batch
+
+        out["stoi"], out["estoi"] = stoi_estoi_batch(
+            wav_tar, wav_predicted, sample_rate, lengths=lengths
+        )
+    pesq_modes = tuple(
+        n.split("_")[1] for n in ("pesq_nb", "pesq_wb") if n in names
+    )
+    if pesq_modes:
+        from .pesq_jax import pesq_batch_modes
+
+        scores = pesq_batch_modes(
+            wav_tar, wav_predicted, sample_rate, pesq_modes, lengths=lengths
+        )
+        for m in pesq_modes:
+            out[f"pesq_{m}"] = scores[m]
     for name in names:
+        if name in out:
+            continue
         if name == "sisdr":
             out[name] = si_sdr_batch(wav_predicted, wav_tar, lengths)
         elif name == "stoi":
@@ -181,12 +206,5 @@ def batch_scores_unchunked(
         elif name == "estoi":
             out[name] = stoi_coeff_batch(
                 wav_tar, wav_predicted, sample_rate, extended=True, lengths=lengths
-            )
-        elif name in ("pesq_nb", "pesq_wb"):
-            from .pesq_jax import pesq_batch
-
-            out[name] = pesq_batch(
-                wav_tar, wav_predicted, sample_rate, mode=name.split("_")[1],
-                lengths=lengths,
             )
     return out

@@ -503,7 +503,31 @@ def pesq_batch(
     env (off — this framework's own enhancement outputs are sample-
     aligned by construction, so the batched eval kernel skips the extra
     work; the host per-utterance API turns it on for external pairs)."""
-    assert mode in ("nb", "wb")
+    return pesq_batch_modes(
+        ref, deg, sample_rate, (mode,), lengths, align, realign
+    )[mode]
+
+
+def pesq_batch_modes(
+    ref: jnp.ndarray,
+    deg: jnp.ndarray,
+    sample_rate: int = 16000,
+    modes=("nb", "wb"),
+    lengths=None,
+    align: bool = True,
+    realign=None,
+) -> dict:
+    """MOS-LQO for several P.862 modes from ONE shared front-end.
+
+    The delay search (a lax.while cross-correlation sweep XLA never CSEs
+    across calls), the per-utterance shift, the level alignment and the
+    framed FFT power spectra are all mode-independent — only the receive
+    filter gain and the final MOS mapping differ between nb and wb. The
+    round-5 eval_full trace showed the whole front-end duplicated when
+    nb and wb were scored as separate pesq_batch calls; sharing it is
+    bitwise-identical per mode and saves ~half the PESQ cost of the
+    five-metric eval."""
+    assert all(m in ("nb", "wb") for m in modes)
     fs = sample_rate
     C = _model_consts(fs)
 
@@ -530,26 +554,40 @@ def pesq_batch(
     ref = _fix_power_level(ref, lengths, fs)
     deg = _fix_power_level(deg, lengths, fs)
 
-    P_ref = _frames_power(ref, C)
-    P_deg = _frames_power(deg, C)
-    M = P_ref.shape[1]
+    P_ref_raw = _frames_power(ref, C)
+    P_deg_raw = _frames_power(deg, C)
+    M = P_ref_raw.shape[1]
     if frame_len_limit is not None:
         fmask = (jnp.arange(M)[None, :] < frame_len_limit[:, None]).astype(
             jnp.float32
         )
     else:
-        fmask = jnp.ones(P_ref.shape[:2], jnp.float32)
+        fmask = jnp.ones(P_ref_raw.shape[:2], jnp.float32)
+
+    return {
+        m: _pesq_mode_tail(
+            C, m, ref, deg, P_ref_raw, P_deg_raw, fmask, realign
+        )
+        for m in modes
+    }
+
+
+def _pesq_mode_tail(C, mode, ref, deg, P_ref_raw, P_deg_raw, fmask,
+                    realign):
+    """Everything downstream of the shared front-end: receive-filter
+    gain, bark grouping, compensations, loudness, disturbance, Lp
+    aggregation and the per-mode MOS mapping."""
+    hi = _metric_precision()
 
     # receive filtering in the power domain
     gain = C["irs_gain"] if mode == "nb" else C["wb_gain"]
     g2 = jnp.asarray(gain * gain)
-    P_ref = P_ref * g2
-    P_deg = P_deg * g2
+    P_ref = P_ref_raw * g2
+    P_deg = P_deg_raw * g2
 
     # bark grouping -> pitch power densities (100/nr correction and Sp
     # are baked into the grouping matrix)
     G = jnp.asarray(C["group"])
-    hi = _metric_precision()
     B_ref = jnp.einsum("bmk,kj->bmj", P_ref, G,
                        preferred_element_type=jnp.float32, precision=hi)
     B_deg = jnp.einsum("bmk,kj->bmj", P_deg, G,

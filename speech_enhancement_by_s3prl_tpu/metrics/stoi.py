@@ -325,28 +325,95 @@ def stoi_coeff_batch(
         jnp.arange(S)[None, :] + N_SEG <= valid.sum(axis=-1)[:, None]
     ).astype(jnp.float32)  # (B, S)
 
-    if not extended:
-        norm_x = jnp.linalg.norm(xs, axis=-1, keepdims=True)
-        norm_y = jnp.linalg.norm(ys, axis=-1, keepdims=True)
-        alpha = norm_x / (norm_y + 1e-12)
-        ys_n = ys * alpha
-        clip = xs * (1.0 + 10.0 ** (-BETA / 20.0))
-        ys_n = jnp.minimum(ys_n, clip)
-        d = _correlation(xs, ys_n, axis=-1)  # (B, S, J)
-        d = d.mean(axis=-1)  # (B, S)
-    else:
-        def row_col_norm(z):
-            z = z - z.mean(axis=-1, keepdims=True)
-            z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
-            z = z - z.mean(axis=-2, keepdims=True)
-            z = z / (jnp.linalg.norm(z, axis=-2, keepdims=True) + 1e-12)
-            return z
-
-        xn = row_col_norm(xs)
-        yn = row_col_norm(ys)
-        # ESTOI: d_m = (1/N) * sum_j sum_n xn * yn — after column (band-axis)
-        # unit normalization each of the N time columns contributes <= 1.
-        d = (xn * yn).sum(axis=(-1, -2)) / N_SEG  # (B, S)
-
+    d = _estoi_tail(xs, ys) if extended else _stoi_tail(xs, ys)
     seg_count = jnp.maximum(seg_valid.sum(axis=-1), 1.0)
     return (d * seg_valid).sum(axis=-1) / seg_count
+
+
+def _stoi_tail(xs, ys):
+    norm_x = jnp.linalg.norm(xs, axis=-1, keepdims=True)
+    norm_y = jnp.linalg.norm(ys, axis=-1, keepdims=True)
+    alpha = norm_x / (norm_y + 1e-12)
+    ys_n = ys * alpha
+    clip = xs * (1.0 + 10.0 ** (-BETA / 20.0))
+    ys_n = jnp.minimum(ys_n, clip)
+    d = _correlation(xs, ys_n, axis=-1)  # (B, S, J)
+    return d.mean(axis=-1)  # (B, S)
+
+
+def _estoi_tail(xs, ys):
+    def row_col_norm(z):
+        z = z - z.mean(axis=-1, keepdims=True)
+        z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+        z = z - z.mean(axis=-2, keepdims=True)
+        z = z / (jnp.linalg.norm(z, axis=-2, keepdims=True) + 1e-12)
+        return z
+
+    xn = row_col_norm(xs)
+    yn = row_col_norm(ys)
+    # ESTOI: d_m = (1/N) * sum_j sum_n xn * yn — after column (band-axis)
+    # unit normalization each of the N time columns contributes <= 1.
+    return (xn * yn).sum(axis=(-1, -2)) / N_SEG  # (B, S)
+
+
+def stoi_estoi_batch(
+    clean: jnp.ndarray,
+    processed: jnp.ndarray,
+    sample_rate: int = 16000,
+    remove_silent: bool = True,
+    lengths=None,
+):
+    """STOI and ESTOI from ONE shared front-end -> ((B,), (B,)).
+
+    The resample / framing / silence-removal / band-envelope / segment
+    pipeline is identical for both metrics (they differ only in the
+    per-segment correlation), but XLA does not reliably CSE the two
+    stoi_coeff_batch calls' duplicated streams (the round-5 eval_full
+    trace showed the resample and segment-gather fusions twice). Sharing
+    it explicitly gives bitwise-identical scores at half the front-end
+    cost."""
+    clean = clean.astype(jnp.float32)
+    processed = processed.astype(jnp.float32)
+    if lengths is not None:
+        t_mask = jnp.arange(clean.shape[-1])[None, :] < lengths[:, None]
+        clean = clean * t_mask
+        processed = processed * t_mask
+        len10k = (lengths * FS) // sample_rate
+    else:
+        len10k = jnp.full(
+            (clean.shape[0],), clean.shape[-1] * FS // sample_rate
+        )
+
+    x = resample(clean, sample_rate, FS)
+    y = resample(processed, sample_rate, FS)
+
+    T = x.shape[-1]
+    M = max((T - N_FRAME) // HOP + 1, 1)
+    xf = _frame(x, M)
+    yf = _frame(y, M)
+    frame_valid = (
+        jnp.arange(M)[None, :] * HOP + N_FRAME
+    ) <= len10k[:, None]
+
+    if remove_silent:
+        xk, yk, kept = _remove_silent(xf, yf, frame_valid)
+        x_frames, valid = _ola_reframe(xk, kept)
+        y_frames, _ = _ola_reframe(yk, kept)
+    else:
+        x_frames, y_frames = xf, yf
+        valid = frame_valid
+
+    X = _band_envelopes(x_frames)
+    Y = _band_envelopes(y_frames)
+    xs = _segments(X, None)
+    ys = _segments(Y, None)
+    S = xs.shape[1]
+    seg_valid = (
+        jnp.arange(S)[None, :] + N_SEG <= valid.sum(axis=-1)[:, None]
+    ).astype(jnp.float32)
+    seg_count = jnp.maximum(seg_valid.sum(axis=-1), 1.0)
+
+    def agg(d):
+        return (d * seg_valid).sum(axis=-1) / seg_count
+
+    return agg(_stoi_tail(xs, ys)), agg(_estoi_tail(xs, ys))
