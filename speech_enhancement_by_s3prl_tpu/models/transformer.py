@@ -310,22 +310,50 @@ class SelfAttention(nn.Module):
             and chunkable
             and self.seq_axis is None
         )
+        # under a mesh step trace (parallel/mesh.py installs the shard
+        # context) the kernel must run per device through shard_map —
+        # GSPMD would replicate the opaque custom call. Only a pure
+        # batch sharding over one axis qualifies (tensor parallelism
+        # shards the head dim; the fused path handles that).
+        flash_mesh = None
         if use_flash:
-            from ..ops.pallas.attention_kernel import flash_attention
+            from ..ops.pallas.lstm_kernel import current_shard_context
+
+            sc = current_shard_context()
+            if sc is not None:
+                mesh, axes = sc
+                if (
+                    len(axes) == 1
+                    and mesh.shape.get("model", 1) == 1
+                    and q.shape[0] % mesh.shape[axes[0]] == 0
+                ):
+                    flash_mesh = (mesh, axes[0])
+                else:
+                    use_flash = False  # fused/chunked handle this mesh
+        if use_flash:
+            from ..ops.pallas.attention_kernel import (
+                flash_attention,
+                flash_attention_sharded,
+            )
 
             kbias = (
                 None if attn_mask is None
                 else attn_mask.reshape(attn_mask.shape[0], -1)
                 .astype(jnp.float32)
             )
-            ctx = flash_attention(
-                q, k, v, scale,
+            kw = dict(
                 rate=(c.attention_probs_dropout_prob if drops_attn else 0.0),
                 rng=self.make_rng("dropout") if drops_attn else None,
                 kbias=kbias,
                 block_q=int(os.environ.get("SE_ATTN_FLASH_BLOCK", "256")),
                 interpret=jax.default_backend() == "cpu",
             )
+            if flash_mesh is not None:
+                ctx = flash_attention_sharded(
+                    flash_mesh[0], flash_mesh[1], q, k, v, scale, **kw
+                )
+            else:
+                ctx = flash_attention(q, k, v, scale, **kw)
         elif not drops_attn and not naive:
             ctx = jax.nn.dot_product_attention(
                 q, k, v, bias=attn_mask, scale=scale

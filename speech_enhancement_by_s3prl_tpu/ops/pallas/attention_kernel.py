@@ -109,11 +109,13 @@ def _heads_per_program(n_heads: int, head_dim: int, interpret: bool) -> int:
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, salt_ref, kbias_ref, out_ref, lse_ref,
-                *, scale, rate, t_valid, n_heads, hpp, head_dim, bq):
+def _fwd_kernel(q_ref, k_ref, v_ref, salt_ref, b0_ref, kbias_ref, out_ref,
+                lse_ref, *, scale, rate, t_valid, n_heads, hpp, head_dim,
+                bq):
     Tk = k_ref.shape[1]
     dt = q_ref.dtype
     b, n2, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b = b + b0_ref[0, 0]   # global batch index under data-parallel shards
 
     kb = kbias_ref[0, 0][None, :]                      # (1, Tk) f32
     ki_ok = jax.lax.broadcasted_iota(jnp.int32, (bq, Tk), 1) < t_valid
@@ -163,11 +165,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, salt_ref, kbias_ref, out_ref, lse_ref,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref, salt_ref,
-                kbias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                b0_ref, kbias_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                 *, scale, rate, t_valid, n_heads, hpp, head_dim, bq, nj):
     Tk = k_ref.shape[1]
     dt = q_ref.dtype
     b, n2, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    b = b + b0_ref[0, 0]   # same global index -> same mask as forward
 
     @pl.when(j == 0)
     def _():
@@ -258,7 +261,7 @@ def _geometry(T: int, block_q: int):
     return bq, Tk, nj
 
 
-def _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
+def _fwd_impl(q, k, v, salt_f, b0, kbias, scale, rate, block_q, interpret,
               n_heads, head_dim):
     """(B, T, N*D) x3 -> out (B, T, N*D), lse (B, N/P, P, nj*bq) f32."""
     B, T, H = q.shape
@@ -279,6 +282,7 @@ def _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
             pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
             pl.BlockSpec((1, Tk, PD), lambda b, n, j: (b, 0, n)),
             pl.BlockSpec((1, 2), lambda b, n, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda b, n, j: (0, 0)),
             pl.BlockSpec((1, 1, Tk), lambda b, n, j: (b, 0, 0)),
         ],
         out_specs=[
@@ -291,12 +295,12 @@ def _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
                                  jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, salt_f, kbp)
+    )(q, k, v, salt_f, b0, kbp)
     return out, lse
 
 
-def _bwd_impl(q, k, v, salt_f, kbias, out, lse, do, scale, rate, block_q,
-              interpret, n_heads, head_dim):
+def _bwd_impl(q, k, v, salt_f, b0, kbias, out, lse, do, scale, rate,
+              block_q, interpret, n_heads, head_dim):
     B, T, H = q.shape
     bq, Tk, nj = _geometry(T, block_q)
     P = _heads_per_program(n_heads, head_dim, interpret)
@@ -318,6 +322,7 @@ def _bwd_impl(q, k, v, salt_f, kbias, out, lse, do, scale, rate, block_q,
             pl.BlockSpec((1, bq, PD), lambda b, n, j: (b, j, n)),
             pl.BlockSpec((1, 1, P, nj * bq), lambda b, n, j: (b, n, 0, 0)),
             pl.BlockSpec((1, 2), lambda b, n, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda b, n, j: (0, 0)),
             pl.BlockSpec((1, 1, Tk), lambda b, n, j: (b, 0, 0)),
         ],
         out_specs=[
@@ -335,32 +340,33 @@ def _bwd_impl(q, k, v, salt_f, kbias, out, lse, do, scale, rate, block_q,
             pltpu.VMEM((Tk, PD), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, do, out, lse, salt_f, kbp)
+    )(q, k, v, do, out, lse, salt_f, b0, kbp)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash_vjp(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
-               n_heads, head_dim):
-    out, _ = _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_vjp(q, k, v, salt_f, b0, kbias, scale, rate, block_q,
+               interpret, n_heads, head_dim):
+    out, _ = _fwd_impl(q, k, v, salt_f, b0, kbias, scale, rate, block_q,
                        interpret, n_heads, head_dim)
     return out
 
 
-def _flash_fwd(q, k, v, salt_f, kbias, scale, rate, block_q, interpret,
-               n_heads, head_dim):
-    out, lse = _fwd_impl(q, k, v, salt_f, kbias, scale, rate, block_q,
+def _flash_fwd(q, k, v, salt_f, b0, kbias, scale, rate, block_q,
+               interpret, n_heads, head_dim):
+    out, lse = _fwd_impl(q, k, v, salt_f, b0, kbias, scale, rate, block_q,
                          interpret, n_heads, head_dim)
-    return out, (q, k, v, salt_f, kbias, out, lse)
+    return out, (q, k, v, salt_f, b0, kbias, out, lse)
 
 
 def _flash_bwd(scale, rate, block_q, interpret, n_heads, head_dim, res, g):
-    q, k, v, salt_f, kbias, out, lse = res
+    q, k, v, salt_f, b0, kbias, out, lse = res
     dq, dk, dv = _bwd_impl(
-        q, k, v, salt_f, kbias, out, lse, g.astype(q.dtype), scale, rate,
-        block_q, interpret, n_heads, head_dim,
+        q, k, v, salt_f, b0, kbias, out, lse, g.astype(q.dtype), scale,
+        rate, block_q, interpret, n_heads, head_dim,
     )
-    return (dq, dk, dv, jnp.zeros_like(salt_f), jnp.zeros_like(kbias))
+    return (dq, dk, dv, jnp.zeros_like(salt_f), jnp.zeros_like(b0),
+            jnp.zeros_like(kbias))
 
 
 _flash_vjp.defvjp(_flash_fwd, _flash_bwd)
@@ -374,6 +380,7 @@ def flash_attention(
     kbias=None,
     block_q: int = 256,
     interpret: bool = False,
+    batch0=None,
 ):
     """Flash attention over (B, T, N, D) tensors -> (B, T, N, D).
 
@@ -384,7 +391,11 @@ def flash_attention(
     rate > 0 applies salted-hash dropout to the attention probabilities
     (rng required); the mask is recomputed in the backward from the
     8-byte salt. ``kbias``: optional additive (B, T) f32 key bias (the
-    padded-frame attention mask). Differentiable in q, k, v."""
+    padded-frame attention mask). ``batch0``: optional int32 scalar
+    added to the kernel's batch index before mask hashing — a
+    data-parallel shard passes its global batch offset so the mask
+    stream is bit-identical to the unsharded run (the salt stays
+    replicated). Differentiable in q, k, v."""
     B, T, N, D = q.shape
     if rate > 0.0:
         assert rng is not None, "dropout needs an rng"
@@ -394,10 +405,69 @@ def flash_attention(
     salt_f = jax.lax.bitcast_convert_type(salt, jnp.float32)
     if kbias is None:
         kbias = jnp.zeros((B, T), jnp.float32)
+    b0 = jnp.zeros((1, 1), jnp.int32) if batch0 is None else \
+        jnp.asarray(batch0, jnp.int32).reshape(1, 1)
     out = _flash_vjp(
         q.reshape(B, T, N * D), k.reshape(B, T, N * D),
-        v.reshape(B, T, N * D), salt_f, kbias.astype(jnp.float32),
+        v.reshape(B, T, N * D), salt_f, b0, kbias.astype(jnp.float32),
         float(scale), float(rate), int(block_q), bool(interpret),
         int(N), int(D),
     )
     return out.reshape(B, T, N, D)
+
+
+def flash_attention_sharded(
+    mesh, axis: str,
+    q, k, v,
+    scale: float,
+    rate: float = 0.0,
+    rng=None,
+    kbias=None,
+    block_q: int = 256,
+    interpret: bool = False,
+):
+    """Data-parallel flash attention: the kernel runs PER DEVICE inside
+    an explicit ``shard_map`` (GSPMD treats a Mosaic custom call as
+    opaque and would replicate it — the same issue the sharded LSTM
+    kernel solves, ops/pallas/lstm_kernel.py). Batch is sharded over
+    ``axis``; the dropout salt is replicated and each shard passes its
+    global batch offset into the kernel, so the mask stream — which
+    keys on absolute (batch, head, position) indices — is bit-identical
+    to the unsharded kernel. Attention is per-utterance, so shards need
+    no collectives; the custom VJP shards the same way."""
+    B, T, N, D = q.shape
+    n_dev = mesh.shape[axis]
+    assert B % n_dev == 0, (B, n_dev)
+    local_b = B // n_dev
+    if rate > 0.0:
+        assert rng is not None, "dropout needs an rng"
+        salt = jax.random.bits(rng, (1, 2), jnp.uint32)
+    else:
+        salt = jnp.zeros((1, 2), jnp.uint32)
+    if kbias is None:
+        kbias = jnp.zeros((B, T), jnp.float32)
+
+    from jax.sharding import PartitionSpec as P
+
+    def local(q4, k4, v4, kb, salt_u32):
+        b0 = jax.lax.axis_index(axis) * local_b
+        salt_f = jax.lax.bitcast_convert_type(salt_u32, jnp.float32)
+        out3 = _flash_vjp(
+            q4.reshape(local_b, T, N * D), k4.reshape(local_b, T, N * D),
+            v4.reshape(local_b, T, N * D), salt_f,
+            b0.reshape(1, 1).astype(jnp.int32), kb.astype(jnp.float32),
+            float(scale), float(rate), int(block_q), bool(interpret),
+            int(N), int(D),
+        )
+        return out3.reshape(local_b, T, N, D)
+
+    sm = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P(axis, None, None, None), P(axis, None, None, None),
+            P(axis, None, None, None), P(axis, None), P(None, None),
+        ),
+        out_specs=P(axis, None, None, None),
+        check_vma=False,
+    )
+    return sm(q, k, v, kbias, salt)

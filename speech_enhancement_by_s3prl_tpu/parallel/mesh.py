@@ -172,13 +172,18 @@ def _mesh_safe_builder(builder, mesh=None, batch_axes=("data",)):
     import warnings
 
     model = getattr(builder, "model", None)
+    # the context is installed for EVERY mesh step: the flash-attention
+    # routing (models/transformer.py) consults it too, and decides its
+    # own mesh suitability (it needs a single pure-batch axis). For
+    # non-Pallas-LSTM models that is all it does.
+    ctx = (mesh, tuple(batch_axes)) if mesh is not None else None
     if not getattr(model, "use_pallas", False):
-        return builder, None
+        return builder, ctx
     tm = os.environ.get("SE_PALLAS_TM", "1") == "1"
     opted_out = os.environ.get("SE_PALLAS_MESH", "1") == "0"
     tp = mesh is not None and mesh.shape.get("model", 1) > 1
     if mesh is not None and tm and not (opted_out or tp):
-        return builder, (mesh, tuple(batch_axes))
+        return builder, ctx
     import dataclasses
 
     why = (
@@ -192,7 +197,7 @@ def _mesh_safe_builder(builder, mesh=None, batch_axes=("data",)):
         "same params and math as the kernel"
     )
     return dataclasses.replace(
-        builder, model=model.clone(use_pallas=False)), None
+        builder, model=model.clone(use_pallas=False)), ctx
 
 
 def make_parallel_train_step(builder, mesh: Mesh, state):

@@ -208,3 +208,120 @@ def test_transformer_flash_routing(monkeypatch):
     assert np.array_equal(np.asarray(d1), np.asarray(d2))
     assert not np.array_equal(np.asarray(d1), np.asarray(d3))
     del nn
+
+
+def test_batch0_offsets_mask_stream():
+    """batch0 shifts the kernel's batch index for mask hashing: scoring
+    the tail half of a batch with batch0=offset must reproduce the
+    full-batch output exactly (the contract the data-parallel shards
+    rely on)."""
+    rng = np.random.default_rng(7)
+    q, k, v = _mk(rng, B=4, T=45)
+    key = jax.random.PRNGKey(9)
+    full = flash_attention(q, k, v, 0.25, rate=0.4, rng=key, interpret=True)
+    tail = flash_attention(
+        q[2:], k[2:], v[2:], 0.25, rate=0.4, rng=key, interpret=True,
+        batch0=2,
+    )
+    np.testing.assert_array_equal(np.asarray(full[2:]), np.asarray(tail))
+
+
+def test_sharded_matches_single_device():
+    """flash_attention_sharded (per-device kernel under shard_map on a
+    dp mesh) must match the single-device kernel bitwise in the forward
+    — same salt, same absolute-index mask stream — and match grads."""
+    from jax.sharding import Mesh
+
+    from speech_enhancement_by_s3prl_tpu.ops.pallas.attention_kernel import (
+        flash_attention_sharded,
+    )
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(8)
+    q, k, v = _mk(rng, B=8, T=37)
+    key = jax.random.PRNGKey(13)
+    kbias = jnp.asarray(
+        np.where(np.arange(37)[None, :] < 30, 0.0, -1e9), jnp.float32
+    ).repeat(8, axis=0).reshape(8, 37)
+
+    single = flash_attention(
+        q, k, v, 0.25, rate=0.3, rng=key, kbias=kbias, interpret=True
+    )
+    with mesh:
+        sharded = flash_attention_sharded(
+            mesh, "data", q, k, v, 0.25, rate=0.3, rng=key, kbias=kbias,
+            interpret=True,
+        )
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+
+    cot = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss_single(q, k, v):
+        return (flash_attention(
+            q, k, v, 0.25, rate=0.3, rng=key, kbias=kbias, interpret=True
+        ) * cot).sum()
+
+    def loss_sharded(q, k, v):
+        return (flash_attention_sharded(
+            mesh, "data", q, k, v, 0.25, rate=0.3, rng=key, kbias=kbias,
+            interpret=True,
+        ) * cot).sum()
+
+    gs = jax.grad(loss_single, argnums=(0, 1, 2))(q, k, v)
+    with mesh:
+        gm = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gs, gm, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6, err_msg=f"d{name}"
+        )
+
+
+def test_mockingjay_flash_under_dp_mesh(monkeypatch):
+    """The full routing: a Mockingjay train step on a dp mesh with
+    SE_ATTN_IMPL=flash goes through flash_attention_sharded (the shard
+    context installed by make_parallel_train_step) and its loss matches
+    the single-device flash step."""
+    import dataclasses
+
+    import __graft_entry__ as graft
+    from speech_enhancement_by_s3prl_tpu.models.spec_head import Mockingjay
+    from speech_enhancement_by_s3prl_tpu.models.transformer import (
+        TransformerConfig,
+    )
+    from speech_enhancement_by_s3prl_tpu.parallel.mesh import (
+        make_mesh,
+        make_parallel_train_step,
+    )
+
+    monkeypatch.setenv("SE_ATTN_IMPL", "flash")
+    base = graft._build(delta=1)
+    cfg = TransformerConfig(
+        input_dim=80, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.1,
+    )
+    model = Mockingjay(output_size=201, config=cfg)
+    builder = dataclasses.replace(
+        base, model=model, from_waveform=True, from_rawfeature=False
+    )
+    rng = jax.random.PRNGKey(0)
+    B, T = 8, 8000
+    wavs = jax.random.normal(rng, (B, 3, T), jnp.float32) * 0.1
+    lengths = jnp.full((B,), T, jnp.int32)
+
+    state1 = builder.init_state(rng, wavs[:2], lengths[:2])
+    single = builder.train_step_fn()
+
+    mesh = make_mesh(8, model_parallel=1)
+    state_m = builder.init_state(rng, wavs[:2], lengths[:2])
+    step, state_m = make_parallel_train_step(builder, mesh, state_m)
+
+    with mesh:
+        for i in range(2):
+            k = jax.random.fold_in(rng, i)
+            state1, s1 = single(state1, wavs, lengths, k)
+            state_m, s2 = step(state_m, wavs, lengths, k)
+            np.testing.assert_allclose(
+                float(s1["loss"]), float(s2["loss"]), rtol=2e-5
+            )

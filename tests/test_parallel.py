@@ -160,11 +160,13 @@ def test_pallas_mesh_routing(monkeypatch):
     assert kept.model.use_pallas
     assert ctx == (dp_mesh, ("data",))
 
-    # tensor parallelism: scan fallback, loud
+    # tensor parallelism: scan fallback, loud. The shard context is
+    # still installed (round 5: the flash-attention routing consults it
+    # and judges its own mesh suitability).
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         safe, ctx = _mesh_safe_builder(builder, tp_mesh, ("data",))
-    assert not safe.model.use_pallas and ctx is None
+    assert not safe.model.use_pallas and ctx == (tp_mesh, ("data",))
     assert any("scan LSTM recurrence" in str(w.message) for w in caught)
     assert any("tensor-parallel" in str(w.message) for w in caught)
 
@@ -173,20 +175,20 @@ def test_pallas_mesh_routing(monkeypatch):
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         safe, ctx = _mesh_safe_builder(builder, dp_mesh, ("data",))
-    assert not safe.model.use_pallas and ctx is None
+    assert not safe.model.use_pallas and ctx == (dp_mesh, ("data",))
     monkeypatch.delenv("SE_PALLAS_MESH", raising=False)
 
     # batch-blocked ablation kernel: only time-major is mesh-capable
     monkeypatch.setenv("SE_PALLAS_TM", "0")
     safe, ctx = _mesh_safe_builder(builder, dp_mesh, ("data",))
-    assert not safe.model.use_pallas and ctx is None
+    assert not safe.model.use_pallas and ctx == (dp_mesh, ("data",))
     monkeypatch.delenv("SE_PALLAS_TM", raising=False)
 
-    # scan models pass through untouched, silently
+    # scan models pass through untouched and silently, context installed
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         passed, ctx = _mesh_safe_builder(base, dp_mesh, ("data",))
-    assert passed is base and ctx is None and not caught
+    assert passed is base and ctx == (dp_mesh, ("data",)) and not caught
 
 
 def test_pallas_kernel_under_mesh_matches_single_device(monkeypatch):
